@@ -1,0 +1,253 @@
+"""ResNet-18/34 as pure functional JAX (NHWC), with per-stage taps.
+
+Topology semantics from the reference's e2e engine: stem conv7x7/s2/p3 ->
+bn -> relu -> maxpool3x3/s2/p1, then 4 stages of BasicBlocks where the first
+block of stages 2-4 strides and takes a 1x1/s2 conv+BN downsample shortcut,
+then GAP -> FC (`runtime/infer_e2e.cu:139-203,258-432`). Re-designed as one
+jit-compiled function parameterized by config instead of per-step binaries.
+
+``taps=True`` returns every stage checkpoint (stem, layer1..4, gap, logits),
+replacing the reference's ``--dump_dir`` stage-bisection workflow
+(`infer_e2e.cu:243-248`) and feeding the fixture-parity pytest ladder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dlq_tpu.models.registry import register
+from dlq_tpu.models.common import (
+    BN_EPS,
+    batchnorm_inference,
+    conv2d,
+    dense,
+    fold_bn,
+    global_avgpool,
+    init_bn,
+    kaiming_normal,
+    maxpool2d,
+    relu,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    depth: int = 18
+    num_classes: int = 1000
+    in_channels: int = 3
+    widths: Tuple[int, ...] = (64, 128, 256, 512)
+    # CIFAR variant: 3x3/s1 stem, no maxpool (BASELINE config 2)
+    small_input: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def blocks_per_stage(self) -> Tuple[int, ...]:
+        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[self.depth]
+
+
+def _init_block(key, cin: int, cout: int, stride: int, dtype) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p: Params = {
+        "conv1": kaiming_normal(k1, (3, 3, cin, cout), fan_out=9 * cout, dtype=dtype),
+        "bn1": init_bn(cout, dtype),
+        "conv2": kaiming_normal(k2, (3, 3, cout, cout), fan_out=9 * cout, dtype=dtype),
+        "bn2": init_bn(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        p["down_conv"] = kaiming_normal(k3, (1, 1, cin, cout), fan_out=cout, dtype=dtype)
+        p["down_bn"] = init_bn(cout, dtype)
+    return p
+
+
+def init_resnet(key, cfg: ResNetConfig) -> Params:
+    keys = jax.random.split(key, 2 + len(cfg.widths))
+    dtype = cfg.dtype
+    if cfg.small_input:
+        stem_w = kaiming_normal(keys[0], (3, 3, cfg.in_channels, cfg.widths[0]),
+                                fan_out=9 * cfg.widths[0], dtype=dtype)
+    else:
+        stem_w = kaiming_normal(keys[0], (7, 7, cfg.in_channels, cfg.widths[0]),
+                                fan_out=49 * cfg.widths[0], dtype=dtype)
+    params: Params = {"stem": {"conv": stem_w, "bn": init_bn(cfg.widths[0], dtype)}}
+    cin = cfg.widths[0]
+    for s, (width, nblocks) in enumerate(zip(cfg.widths, cfg.blocks_per_stage)):
+        bkeys = jax.random.split(keys[1 + s], nblocks)
+        blocks: List[Params] = []
+        for b in range(nblocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            blocks.append(_init_block(bkeys[b], cin, width, stride, dtype))
+            cin = width
+        params[f"layer{s+1}"] = blocks
+    kfc = keys[-1]
+    bound = 1.0 / (cin ** 0.5)
+    params["fc"] = {
+        "w": jax.random.uniform(kfc, (cin, cfg.num_classes), dtype, -bound, bound),
+        "b": jnp.zeros((cfg.num_classes,), dtype),
+    }
+    return params
+
+
+def basic_block(x: jnp.ndarray, p: Params, stride: int, eps: float = BN_EPS) -> jnp.ndarray:
+    """conv3x3->bn->relu->conv3x3->bn (+ optional 1x1/s2 conv+bn shortcut)
+    ->add->relu — semantics of basic_block_forward, infer_e2e.cu:156-203."""
+    y = conv2d(x, p["conv1"], stride=stride, padding=1)
+    y = relu(batchnorm_inference(y, p["bn1"], eps))
+    y = conv2d(y, p["conv2"], stride=1, padding=1)
+    y = batchnorm_inference(y, p["bn2"], eps)
+    if "down_conv" in p:
+        sc = conv2d(x, p["down_conv"], stride=stride, padding=0)
+        sc = batchnorm_inference(sc, p["down_bn"], eps)
+    else:
+        sc = x
+    return relu(y + sc)
+
+
+def resnet_forward(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: ResNetConfig,
+    taps: bool = False,
+):
+    """NHWC input -> logits. With taps, also return stage checkpoints."""
+    t: Dict[str, jnp.ndarray] = {}
+    if cfg.small_input:
+        y = conv2d(x, params["stem"]["conv"], stride=1, padding=1)
+    else:
+        y = conv2d(x, params["stem"]["conv"], stride=2, padding=3)
+    y = relu(batchnorm_inference(y, params["stem"]["bn"]))
+    if not cfg.small_input:
+        y = maxpool2d(y, 3, 2, 1)
+    if taps:
+        t["stem"] = y
+    for s in range(4):
+        blocks = params[f"layer{s+1}"]
+        for b, bp in enumerate(blocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            y = basic_block(y, bp, stride)
+        if taps:
+            t[f"layer{s+1}"] = y
+    g = global_avgpool(y)
+    if taps:
+        t["gap"] = g
+    logits = dense(g, params["fc"]["w"], params["fc"]["b"])
+    if taps:
+        t["logits"] = logits
+        return logits, t
+    return logits
+
+
+def fold_resnet(params: Params, cfg: ResNetConfig) -> Params:
+    """Fold every inference BN into its conv -> {conv: (w, b)} deployment
+    params. This is the input to the quantizer."""
+    out: Params = {}
+    w, b = fold_bn(params["stem"]["conv"], None, params["stem"]["bn"])
+    out["stem"] = {"w": w, "b": b}
+    for s in range(4):
+        blocks = []
+        for bp in params[f"layer{s+1}"]:
+            fb: Params = {}
+            fb["conv1_w"], fb["conv1_b"] = fold_bn(bp["conv1"], None, bp["bn1"])
+            fb["conv2_w"], fb["conv2_b"] = fold_bn(bp["conv2"], None, bp["bn2"])
+            if "down_conv" in bp:
+                fb["down_w"], fb["down_b"] = fold_bn(bp["down_conv"], None, bp["down_bn"])
+            blocks.append(fb)
+        out[f"layer{s+1}"] = blocks
+    out["fc"] = {"w": params["fc"]["w"], "b": params["fc"]["b"]}
+    return out
+
+
+def folded_forward(folded: Params, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
+    """Forward through BN-folded params — the deployment fp32/bf16 path and
+    the structural template the quantized engine mirrors."""
+    t: Dict[str, jnp.ndarray] = {}
+    stem = folded["stem"]
+    if cfg.small_input:
+        y = conv2d(x, stem["w"], stride=1, padding=1, bias=stem["b"])
+    else:
+        y = conv2d(x, stem["w"], stride=2, padding=3, bias=stem["b"])
+    y = relu(y)
+    if not cfg.small_input:
+        y = maxpool2d(y, 3, 2, 1)
+    if taps:
+        t["stem"] = y
+    for s in range(4):
+        for b, fb in enumerate(folded[f"layer{s+1}"]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            z = relu(conv2d(y, fb["conv1_w"], stride=stride, padding=1, bias=fb["conv1_b"]))
+            z = conv2d(z, fb["conv2_w"], stride=1, padding=1, bias=fb["conv2_b"])
+            if "down_w" in fb:
+                sc = conv2d(y, fb["down_w"], stride=stride, padding=0, bias=fb["down_b"])
+            else:
+                sc = y
+            y = relu(z + sc)
+        if taps:
+            t[f"layer{s+1}"] = y
+    g = global_avgpool(y)
+    logits = dense(g, folded["fc"]["w"], folded["fc"]["b"])
+    if taps:
+        t["gap"], t["logits"] = g, logits
+        return logits, t
+    return logits
+
+
+def flatten_folded(folded: Params) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Nested folded params -> flat {site: {"w", "b"}} for the quantizer."""
+    flat: Dict[str, Dict[str, jnp.ndarray]] = {"stem": {"w": folded["stem"]["w"], "b": folded["stem"]["b"]}}
+    for s in range(4):
+        for b, fb in enumerate(folded[f"layer{s+1}"]):
+            flat[f"layer{s+1}.{b}.conv1"] = {"w": fb["conv1_w"], "b": fb["conv1_b"]}
+            flat[f"layer{s+1}.{b}.conv2"] = {"w": fb["conv2_w"], "b": fb["conv2_b"]}
+            if "down_w" in fb:
+                flat[f"layer{s+1}.{b}.down"] = {"w": fb["down_w"], "b": fb["down_b"]}
+    flat["fc"] = {"w": folded["fc"]["w"], "b": folded["fc"]["b"]}
+    return flat
+
+
+def qforward(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
+    """The ONE quantized-topology definition, shared by observe / deploy /
+    simulate contexts (dlq_tpu.quant.model_quant). Residual adds stay in
+    the fp32/bf16 interchange dtype; convs/fc quantize at their inputs."""
+    t: Dict[str, jnp.ndarray] = {}
+    if cfg.small_input:
+        y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True)
+    else:
+        y = ctx.conv("stem", x, stride=2, padding=3, fuse_relu=True)
+        y = maxpool2d(y, 3, 2, 1)
+    if taps:
+        t["stem"] = y
+    nblocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[cfg.depth]
+    for s in range(4):
+        for b in range(nblocks[s]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            site = f"layer{s+1}.{b}"
+            z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1, fuse_relu=True)
+            z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1)
+            down = f"{site}.down"
+            sc = ctx.conv(down, y, stride=stride, padding=0) if ctx.has(down) else y
+            y = relu(z + sc)
+        if taps:
+            t[f"layer{s+1}"] = y
+    g = global_avgpool(y)
+    logits = ctx.dense("fc", g)
+    if taps:
+        t["gap"], t["logits"] = g, logits
+        return logits, t
+    return logits
+
+
+@register("resnet18")
+def _build_resnet18(**kw):
+    cfg = ResNetConfig(depth=18, **kw)
+    return cfg, init_resnet, resnet_forward
+
+
+@register("resnet34")
+def _build_resnet34(**kw):
+    cfg = ResNetConfig(depth=34, **kw)
+    return cfg, init_resnet, resnet_forward

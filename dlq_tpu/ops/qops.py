@@ -1,0 +1,143 @@
+"""Quantized conv / dense ops at the XLA level.
+
+Numerics spec (the contract every backend and kernel must match):
+  * activations quantized symmetric int8 with a static per-site scale
+    (``round`` half-away-from-zero is NOT used; we use round-half-even like
+    jnp.round, and the simulated-quant oracle uses the same)
+  * int8 x int8 -> int32 accumulation (MXU native on v5e; 2x bf16 TOPS)
+  * rescale in fp32: y = acc * (act_scale * w_scale[oc]) + bias[oc]
+  * optional fused relu epilogue
+
+Where a backend cannot lower integer conv/dot, we fall back to fp32 compute
+on the SAME integer values; any divergence from int32 accumulation is then a
+property of the backend, caught by the parity tests' tolerances.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dlq_tpu.quant.quantize import QTensor, quantize_act, unpack_int4
+
+
+@functools.cache
+def int8_conv_supported(platform: Optional[str] = None) -> bool:
+    """Probe once: can this backend lower int8xint8->int32 conv?"""
+    try:
+        a = jnp.ones((1, 8, 8, 8), jnp.int8)
+        k = jnp.ones((3, 3, 8, 8), jnp.int8)
+        out = jax.jit(
+            lambda a, k: jax.lax.conv_general_dilated(
+                a, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+        )(a, k)
+        out.block_until_ready()
+        return out.dtype == jnp.int32
+    except Exception:
+        return False
+
+
+@functools.cache
+def int8_dot_supported(platform: Optional[str] = None) -> bool:
+    try:
+        a = jnp.ones((8, 8), jnp.int8)
+        out = jax.jit(lambda a: jax.lax.dot(a, a, preferred_element_type=jnp.int32))(a)
+        out.block_until_ready()
+        return out.dtype == jnp.int32
+    except Exception:
+        return False
+
+
+def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int) -> jnp.ndarray:
+    """int8 NHWC x HWIO conv -> int32 (or fp32-on-int-values fallback)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pads = [(padding[0], padding[0]), (padding[1], padding[1])]
+    if int8_conv_supported(jax.default_backend()):
+        return jax.lax.conv_general_dilated(
+            xq, wq, stride, pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+    return jax.lax.conv_general_dilated(
+        xq.astype(jnp.float32), wq.astype(jnp.float32), stride, pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def qconv2d(
+    x: jnp.ndarray,
+    qw: QTensor,
+    bias: Optional[jnp.ndarray],
+    act_scale: jnp.ndarray,
+    stride: int | Tuple[int, int] = 1,
+    padding: int | Tuple[int, int] = 0,
+    groups: int = 1,
+    fuse_relu: bool = False,
+) -> jnp.ndarray:
+    """W8A8 conv: quantize input with the calibrated static scale, int8 conv
+    with int32 accum, fp32 per-channel rescale (+bias, +relu). The quantize
+    and rescale are elementwise and fuse into the conv under jit.
+
+    qw.values: HWIO int8; qw.scale: per-tensor () or per-OC (O,).
+    """
+    if qw.bits != 8:
+        raise ValueError("qconv2d is the int8 path; use int4 dense kernels for W4")
+    xq = quantize_act(x, act_scale)
+    acc = _conv_int8(xq, qw.values, stride, padding, groups)
+    scale = act_scale * qw.scale  # () or (O,) — broadcasts over NHWC
+    y = acc.astype(jnp.float32) * scale
+    if bias is not None:
+        y = y + bias
+    if fuse_relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def qdense(
+    x: jnp.ndarray,
+    qw: QTensor,
+    bias: Optional[jnp.ndarray],
+    act_scale: Optional[jnp.ndarray] = None,
+    fuse_relu: bool = False,
+) -> jnp.ndarray:
+    """Quantized dense.
+
+    int8 weights + act_scale        -> W8A8 int matmul, int32 accum.
+    int8/int4 weights, no act_scale -> weight-only: dequantized (in-register
+    for the Pallas path, here via XLA fusion) matmul in fp32/bf16.
+    qw.values: [I, O] int8 or packed int4.
+    """
+    if act_scale is not None and qw.bits == 8:
+        xq = quantize_act(x, act_scale)
+        if int8_dot_supported(jax.default_backend()):
+            acc = jax.lax.dot(xq, qw.values, preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32)
+        else:
+            y = jax.lax.dot(
+                xq.astype(jnp.float32), qw.values.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        y = y * (act_scale * qw.scale)
+    else:
+        # weight-only: XLA fuses the dequant into the matmul's operand read
+        from dlq_tpu.quant.quantize import dequantize
+
+        w = dequantize(qw).astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias
+    if fuse_relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)

@@ -1,0 +1,160 @@
+"""Whole-model PTQ: flatten folded params, quantize weights, and run the
+same topology in three modes through a QuantCtx:
+
+  ObserveCtx   — fp32 compute, records each quantized op's input stats
+                 (feeds `calibrate`)
+  DeployCtx    — real integer compute (int8 MXU path / int4 fused kernels)
+  SimulateCtx  — fp32 simulated-quant oracle: fake-quantized activations x
+                 dequantized weights, for bitwise-checkable fixtures
+                 (the reference's golden-fixture methodology, SURVEY §4,
+                 applied to the quantized path)
+
+Models define ONE `qforward(ctx, x, cfg)` against this API, so all three
+modes share one topology definition — no per-step binaries (the reference's
+structure) and no drift between oracle and deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from dlq_tpu.models.common import conv2d, dense, relu
+from dlq_tpu.ops.qops import qconv2d, qdense
+from dlq_tpu.quant.qconfig import QConfig
+from dlq_tpu.quant.quantize import QTensor, dequantize, quantize_act, quantize_tensor
+
+FlatParams = Dict[str, Dict[str, Any]]  # site -> {"w": f32 | "qw": QTensor, "b": f32}
+
+
+def quantize_weights(flat: FlatParams, qcfg: QConfig) -> FlatParams:
+    """fp32 flat params -> quantized flat params (weights only; biases fp32).
+
+    Conv weights (HWIO) quantize per-OC on axis -1; int4 group-wise weights
+    are quantized on the 2D [H*W*I, O] view (group along the contraction).
+    """
+    out: FlatParams = {}
+    for site, p in flat.items():
+        w = p["w"]
+        scheme = qcfg.weights
+        if scheme.group is not None:
+            K = 1
+            for d in w.shape[:-1]:
+                K *= d
+            w2 = w.reshape(K, w.shape[-1])
+            if K % scheme.group != 0 or (scheme.bits == 4 and K % 2 != 0):
+                # fall back to plain per-channel for sites whose contraction
+                # dim doesn't divide the group size (e.g. first conv K=147)
+                import dataclasses as _dc
+
+                fallback = _dc.replace(scheme, group=None, bits=8)
+                qw = quantize_tensor(w, fallback)
+            else:
+                # QTensor keeps the 2D [K, O] view; w_shape restores layout
+                qw = quantize_tensor(w2, scheme)
+        else:
+            qw = quantize_tensor(w, scheme)
+        out[site] = {"qw": qw, "b": p.get("b"), "w_shape": tuple(w.shape)}
+    return out
+
+
+def _deq_weight(p: Dict[str, Any]) -> jnp.ndarray:
+    """Dequantize a site's weight back to fp32 in its original layout."""
+    qw: QTensor = p["qw"]
+    w = dequantize(qw)
+    return w.reshape(p["w_shape"])
+
+
+class ObserveCtx:
+    """fp32 forward over folded params; records op inputs at `self.sites`."""
+
+    def __init__(self, flat: FlatParams):
+        self.flat = flat
+        self.sites: Dict[str, jnp.ndarray] = {}
+
+    def has(self, name):
+        return name in self.flat
+
+    def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
+        self.sites[name] = x
+        p = self.flat[name]
+        y = conv2d(x, p["w"], stride=stride, padding=padding, groups=groups, bias=p.get("b"))
+        return relu(y) if fuse_relu else y
+
+    def dense(self, name, x, *, fuse_relu=False):
+        self.sites[name] = x
+        p = self.flat[name]
+        y = dense(x, p["w"], p.get("b"))
+        return relu(y) if fuse_relu else y
+
+
+class DeployCtx:
+    """Real quantized compute: W8A8 int8 MXU path, or weight-only dequant."""
+
+    def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig):
+        self.qflat = qflat
+        self.act_scales = act_scales or {}
+        self.qcfg = qcfg
+
+    def has(self, name):
+        return name in self.qflat
+
+    def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
+        p = self.qflat[name]
+        if self.qcfg.weight_only:
+            w = _deq_weight(p).astype(x.dtype)
+            y = conv2d(x, w, stride=stride, padding=padding, groups=groups, bias=p.get("b"))
+            return relu(y) if fuse_relu else y
+        return qconv2d(x, p["qw"], p.get("b"), self.act_scales[name],
+                       stride=stride, padding=padding, groups=groups, fuse_relu=fuse_relu)
+
+    def dense(self, name, x, *, fuse_relu=False):
+        p = self.qflat[name]
+        scale = None if self.qcfg.weight_only else self.act_scales[name]
+        return qdense(x, p["qw"], p.get("b"), act_scale=scale, fuse_relu=fuse_relu)
+
+
+class SimulateCtx:
+    """fp32 oracle with identical quantization decisions (fake-quant)."""
+
+    def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig):
+        self.qflat = qflat
+        self.act_scales = act_scales or {}
+        self.qcfg = qcfg
+
+    def has(self, name):
+        return name in self.qflat
+
+    def _fake_act(self, name, x):
+        if self.qcfg.weight_only:
+            return x.astype(jnp.float32)
+        s = self.act_scales[name]
+        q = quantize_act(x, s, self.qcfg.acts.qmax)
+        return q.astype(jnp.float32) * s
+
+    def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
+        p = self.qflat[name]
+        xf = self._fake_act(name, x)
+        w = _deq_weight(p)
+        y = conv2d(xf, w, stride=stride, padding=padding, groups=groups, bias=p.get("b"))
+        return relu(y) if fuse_relu else y
+
+    def dense(self, name, x, *, fuse_relu=False):
+        p = self.qflat[name]
+        xf = self._fake_act(name, x)
+        qw: QTensor = p["qw"]
+        w = dequantize(qw).reshape(p["w_shape"])
+        y = dense(xf, w, p.get("b"))
+        return relu(y) if fuse_relu else y
+
+
+def make_sites_fn(qforward: Callable, cfg) -> Callable:
+    """(flat_params, x) -> {site: input activation}, for `calibrate`."""
+
+    def sites_fn(flat: FlatParams, x):
+        ctx = ObserveCtx(flat)
+        qforward(ctx, x, cfg)
+        return ctx.sites
+
+    return sites_fn

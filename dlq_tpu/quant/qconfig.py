@@ -1,0 +1,62 @@
+"""Quantization configuration dataclasses (the single config system the
+reference lacked — SURVEY §5.6 calls for dataclass config over argv parsing)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class QScheme:
+    """How one tensor class (weights or activations) is quantized.
+
+    bits:      8 (int8) or 4 (int4, weights only)
+    symmetric: symmetric (zero_point=0) vs affine
+    axis:      per-channel axis in the tensor's stored layout; None = per-tensor.
+               For HWIO conv weights and IO dense weights the output-channel
+               axis is -1.
+    group:     group size along the contraction (input-channel) axis for
+               group-wise scales (int4 weight-only, e.g. 128); None = whole axis.
+    """
+
+    bits: int = 8
+    symmetric: bool = True
+    axis: Optional[int] = -1
+    group: Optional[int] = None
+
+    def __post_init__(self):
+        if self.bits not in (4, 8):
+            raise ValueError(f"bits must be 4 or 8, got {self.bits}")
+        if self.bits == 4 and not self.symmetric:
+            raise ValueError("int4 path is symmetric-only")
+
+    @property
+    def qmax(self) -> int:
+        return 127 if self.bits == 8 else 7
+
+    @property
+    def qmin(self) -> int:
+        if self.symmetric:
+            return -self.qmax
+        return -128 if self.bits == 8 else -8
+
+
+@dataclasses.dataclass(frozen=True)
+class QConfig:
+    """Whole-model PTQ recipe."""
+
+    weights: QScheme = QScheme(bits=8, symmetric=True, axis=-1)
+    acts: Optional[QScheme] = QScheme(bits=8, symmetric=True, axis=None)  # None => weight-only
+    calibration: str = "minmax"  # "minmax" | "percentile" | "mse"
+    percentile: float = 99.99
+
+    @property
+    def weight_only(self) -> bool:
+        return self.acts is None
+
+
+# Preset recipes matching BASELINE.json configs
+INT8_PER_TENSOR = QConfig(weights=QScheme(8, True, None), acts=QScheme(8, True, None))
+INT8_PER_CHANNEL = QConfig(weights=QScheme(8, True, -1), acts=QScheme(8, True, None))
+INT4_WEIGHT_ONLY_G128 = QConfig(weights=QScheme(4, True, -1, group=128), acts=None)
