@@ -1,0 +1,88 @@
+"""Headline benchmark: INT8 ResNet-18 images/sec/chip (BASELINE.json metric).
+
+Prints ONE JSON line:
+  {"metric": "resnet18_int8_images_per_sec_per_chip", "value": N,
+   "unit": "img/s", "vs_baseline": <int8-vs-fp32 speedup on same chip>, ...}
+
+vs_baseline is the int8/fp32 throughput ratio on the same hardware — the
+reference publishes no absolute throughput (BASELINE.md: logs git-ignored),
+so the speedup over our own fp32 path is the honest comparable, plus the
+accuracy deltas the reference's methodology tracks (top-1 agreement).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    t0 = time.time()
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    size = 224
+
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu import numerics
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+    )
+    from dlq_tpu.quant.model_quant import ObserveCtx
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+    from dlq_tpu.timing import time_fn
+
+    cfg = ResNetConfig(depth=18, num_classes=1000)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.normal(0, 1, (8, size, size, 3)), jnp.float32)]
+    x = rng.normal(0, 1, (batch, size, size, 3)).astype(np.float32)
+
+    # fp32 folded engine (baseline on this chip)
+    def fp32_fwd(p, xb):
+        return qforward(ObserveCtx(p), xb, cfg)
+
+    eng_fp32 = Engine(fp32_fwd, flat, batch=batch, name="resnet18_fp32")
+    eng_fp32.warmup((size, size, 3))
+    r_fp32 = time_fn(eng_fp32._fn, eng_fp32.params, jnp.asarray(x), iters=iters, warmup=3)
+
+    # int8 engine
+    eng_int8 = Engine.quantized(
+        qforward, flat, cfg, INT8_PER_CHANNEL, calib_batches=calib,
+        batch=batch, name="resnet18_int8",
+    )
+    eng_int8.warmup((size, size, 3))
+    r_int8 = time_fn(eng_int8._fn, eng_int8.params, jnp.asarray(x), iters=iters, warmup=3)
+
+    ips_int8 = batch / (r_int8["ms_median"] / 1e3)
+    ips_fp32 = batch / (r_fp32["ms_median"] / 1e3)
+
+    # accuracy: top-1 agreement int8 vs fp32 on the bench batch
+    logits_fp32 = np.asarray(eng_fp32(x))
+    logits_int8 = np.asarray(eng_int8(x))
+    agree = numerics.top1_agreement(logits_int8, logits_fp32)
+    cos = numerics.diff(logits_int8, logits_fp32).cosine
+
+    print(json.dumps({
+        "metric": "resnet18_int8_images_per_sec_per_chip",
+        "value": round(ips_int8, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips_int8 / ips_fp32, 3),
+        "fp32_images_per_sec": round(ips_fp32, 2),
+        "int8_ms_per_batch": round(r_int8["ms_median"], 3),
+        "fp32_ms_per_batch": round(r_fp32["ms_median"], 3),
+        "batch": batch,
+        "top1_agreement_int8_vs_fp32": agree,
+        "logits_cosine": round(cos, 6),
+        "device": str(jax.devices()[0]),
+        "wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

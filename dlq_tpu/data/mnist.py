@@ -1,0 +1,48 @@
+"""MNIST binary data contract.
+
+Reference contract (identical in v1-v5): ``data/{X_train,X_test}.bin`` raw
+fp32 row-major [N, 784] ALREADY normalized with mean 0.1307 / std 0.3081,
+``{y_train,y_test}.bin`` int32 [N] (`v1.py:21-24`, `v3.c:98-105`). We keep
+that exact contract so ladder runs are comparable, and add a deterministic
+synthetic generator for environments without the dataset.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+MNIST_MEAN = 0.1307
+MNIST_STD = 0.3081
+
+
+def load_mnist_bin(data_dir: str, split: str = "train") -> Tuple[np.ndarray, np.ndarray]:
+    X = np.fromfile(os.path.join(data_dir, f"X_{split}.bin"), dtype=np.float32)
+    y = np.fromfile(os.path.join(data_dir, f"y_{split}.bin"), dtype=np.int32)
+    if X.size % 784 != 0:
+        raise ValueError(f"X_{split}.bin size {X.size} not divisible by 784")
+    X = X.reshape(-1, 784)
+    if len(X) != len(y):
+        raise ValueError(f"X/y length mismatch: {len(X)} vs {len(y)}")
+    return X, y
+
+
+def save_mnist_bin(data_dir: str, X: np.ndarray, y: np.ndarray, split: str) -> None:
+    os.makedirs(data_dir, exist_ok=True)
+    np.ascontiguousarray(X, np.float32).tofile(os.path.join(data_dir, f"X_{split}.bin"))
+    np.ascontiguousarray(y, np.int32).tofile(os.path.join(data_dir, f"y_{split}.bin"))
+
+
+def synthetic_mnist(n: int = 10000, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic learnable surrogate: 10 gaussian class prototypes over
+    784 dims + noise, normalized like real MNIST. A linear-separable-ish
+    task the MLP trains to >95% on, so ladder timing/accuracy flows run
+    end-to-end without the dataset."""
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(0, 1.0, (10, 784)).astype(np.float32)
+    y = rng.integers(0, 10, n).astype(np.int32)
+    X = protos[y] + rng.normal(0, 1.5, (n, 784)).astype(np.float32)
+    X = (X - X.mean()) / (X.std() + 1e-8)  # match normalized-contract stats
+    return X.astype(np.float32), y

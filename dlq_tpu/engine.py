@@ -1,0 +1,155 @@
+"""Persistent batched inference engine.
+
+The reference's deepest design flaw was re-spawning a process and re-uploading
+every weight per image (`tools/bench_fp32_vs_torch_e2e.py:104-116`, SURVEY
+§3.4). This engine is the fix the reference itself sketched with `--gap_list`:
+weights live on device once, the forward is compiled once per (batch, mode),
+and batches stream through — optionally sharded over a (data, model) mesh.
+
+Modes:
+  fp32 / bf16   — reference-precision paths (bf16 feeds the MXU at 2x fp32)
+  int8          — W8A8: per-channel int8 weights, static-scale int8
+                  activations, int32 MXU accumulation
+  int4          — weight-only group-wise int4, fused dequant matmul
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from dlq_tpu.parallel.mesh import batch_sharding
+from dlq_tpu.parallel.shard import pad_to_batch, replicate, shard_batch, shard_params_tp
+from dlq_tpu.quant.calibrate import calibrate
+from dlq_tpu.quant.model_quant import DeployCtx, SimulateCtx, make_sites_fn, quantize_weights
+from dlq_tpu.quant.qconfig import QConfig
+from dlq_tpu.timing import StageTimer
+
+
+@dataclasses.dataclass
+class EngineStats:
+    batches: int = 0
+    images: int = 0
+    ms_total: float = 0.0
+
+    @property
+    def images_per_sec(self) -> float:
+        return self.images / (self.ms_total / 1e3) if self.ms_total else 0.0
+
+
+class Engine:
+    """One compiled forward + resident params; call it like a function."""
+
+    def __init__(
+        self,
+        forward: Callable[[Any, jnp.ndarray], jnp.ndarray],
+        params: Any,
+        *,
+        batch: int = 32,
+        mesh: Optional[Mesh] = None,
+        tensor_parallel: bool = False,
+        input_dtype: Any = jnp.float32,
+        name: str = "engine",
+    ):
+        self.batch = batch
+        self.mesh = mesh
+        self.name = name
+        self.input_dtype = input_dtype
+        self.timer = StageTimer()
+        self.stats = EngineStats()
+        if mesh is not None:
+            params = shard_params_tp(params, mesh) if tensor_parallel else replicate(params, mesh)
+            out_shardings = batch_sharding(mesh)
+            self._fn = jax.jit(forward, out_shardings=out_shardings)
+        else:
+            self._fn = jax.jit(forward)
+        self.params = params
+
+    # ---------------- constructors ----------------
+
+    @staticmethod
+    def fp32(model_forward, params, cfg, **kw) -> "Engine":
+        return Engine(lambda p, x: model_forward(p, x, cfg), params, **kw)
+
+    @staticmethod
+    def bf16(model_forward, params, cfg, **kw) -> "Engine":
+        bf = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        return Engine(
+            lambda p, x: model_forward(p, x.astype(jnp.bfloat16), cfg).astype(jnp.float32),
+            bf, input_dtype=jnp.bfloat16, **kw,
+        )
+
+    @staticmethod
+    def quantized(
+        qforward,
+        flat_params,
+        cfg,
+        qcfg: QConfig,
+        calib_batches: Optional[Iterable] = None,
+        act_scales: Optional[Dict[str, jnp.ndarray]] = None,
+        simulate: bool = False,
+        **kw,
+    ) -> "Engine":
+        """PTQ an fp32 flat-param model into a deployed engine.
+
+        calib_batches is required unless qcfg is weight-only or act_scales
+        are provided (e.g. loaded from a quantized manifest).
+        """
+        if not qcfg.weight_only and act_scales is None:
+            if calib_batches is None:
+                raise ValueError("activation quantization needs calib_batches or act_scales")
+            sites_fn = make_sites_fn(qforward, cfg)
+            act_scales = calibrate(sites_fn, flat_params, calib_batches, qcfg)
+        qflat = quantize_weights(flat_params, qcfg)
+        Ctx = SimulateCtx if simulate else DeployCtx
+        payload = {"qflat": qflat, "scales": act_scales or {}}
+
+        def fwd(p, x):
+            ctx = Ctx(p["qflat"], p["scales"], qcfg)
+            return qforward(ctx, x, cfg)
+
+        eng = Engine(fwd, payload, **kw)
+        eng.act_scales = act_scales
+        eng.qflat = qflat
+        return eng
+
+    # ---------------- execution ----------------
+
+    def warmup(self, input_shape) -> "Engine":
+        x = jnp.zeros((self.batch,) + tuple(input_shape), self.input_dtype)
+        if self.mesh is not None:
+            x = shard_batch(x, self.mesh)
+        self._fn(self.params, x).block_until_ready()
+        return self
+
+    def __call__(self, x) -> jnp.ndarray:
+        """Run one batch (padded/truncated handling included); returns logits
+        for the real rows only."""
+        xp, n = pad_to_batch(x, self.batch)
+        xj = jnp.asarray(xp, self.input_dtype)
+        if self.mesh is not None:
+            xj = shard_batch(xj, self.mesh)
+        with self.timer.stage("forward"):
+            out = self._fn(self.params, xj)
+            out.block_until_ready()
+        self.stats.batches += 1
+        self.stats.images += n
+        self.stats.ms_total = self.timer.ms.get("forward", 0.0)
+        return out[:n]
+
+    def classify(self, images, top: int = 1) -> np.ndarray:
+        """Stream any number of images; returns argmax class indices."""
+        images = np.asarray(images)
+        preds = []
+        for i in range(0, len(images), self.batch):
+            logits = np.asarray(self(images[i : i + self.batch]))
+            preds.append(np.argsort(-logits, -1)[:, :top] if top > 1 else np.argmax(logits, -1))
+        return np.concatenate(preds)

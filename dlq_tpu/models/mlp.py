@@ -61,7 +61,10 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarr
     """Mean softmax-CE; the grad wrt logits is (p - onehot)/B, matching the
     reference's manual backward (`v2.py:119-123`)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    # one-hot contraction instead of gather: identical math, and it keeps a
+    # class-axis (tensor-parallel) sharding resolvable as a reduction
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     return jnp.mean(nll)
 
 

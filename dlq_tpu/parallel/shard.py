@@ -1,0 +1,70 @@
+"""Sharding rules: place params and batches onto a (data, model) mesh.
+
+GSPMD style — we annotate placements with NamedSharding and let XLA insert
+and schedule the collectives (all-gather / reduce-scatter / psum over ICI),
+rather than hand-writing transports (SURVEY §2.7: the scaling-book recipe).
+
+Tensor-parallel rule for conv nets: shard the OUTPUT-channel axis (last axis
+of HWIO conv weights, IO dense weights, and of biases / per-channel scales).
+Activations stay batch-sharded; XLA propagates channel shardings through the
+network and inserts the boundary collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlq_tpu.quant.quantize import QTensor
+
+
+def _tp_spec_for(arr, mesh: Mesh, axis: str = "model"):
+    """Shard the last axis over `axis` when divisible, else replicate."""
+    n = mesh.shape[axis]
+    shape = getattr(arr, "shape", ())
+    if len(shape) >= 1 and shape[-1] % n == 0 and shape[-1] >= n:
+        return P(*([None] * (len(shape) - 1) + [axis]))
+    return P()
+
+
+def shard_params_tp(params: Any, mesh: Mesh) -> Any:
+    """Place every weight/bias/scale with its output-channel axis sharded
+    over "model". QTensor leaves shard values AND per-channel scales
+    consistently (both have the channel as last axis)."""
+
+    def place(leaf):
+        if isinstance(leaf, (jax.Array, np.ndarray)):
+            return jax.device_put(leaf, NamedSharding(mesh, _tp_spec_for(leaf, mesh)))
+        return leaf
+
+    return jax.tree_util.tree_map(place, params)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    def place(leaf):
+        if isinstance(leaf, (jax.Array, np.ndarray)):
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return leaf
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Batch-shard an activation/input along "data" (axis 0)."""
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def pad_to_batch(x, batch: int):
+    """Pad axis 0 up to `batch` (engines run fixed batch shapes so XLA
+    compiles once; remainder batches pad and mask)."""
+    n = x.shape[0]
+    if n == batch:
+        return x, n
+    if n > batch:
+        raise ValueError(f"batch {n} > engine batch {batch}")
+    pad = [(0, batch - n)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(np.asarray(x), pad), n

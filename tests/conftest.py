@@ -1,15 +1,20 @@
 """Test config: run everything on CPU with 8 virtual devices so sharding
-tests are hardware-independent (SURVEY §4 target test strategy)."""
+tests are hardware-independent (SURVEY §4 target test strategy).
+
+NOTE: this environment's sitecustomize force-selects the tunneled "axon"
+TPU backend via jax.config (ignoring JAX_PLATFORMS env), so we must override
+with a config update BEFORE any backend initialization.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402
