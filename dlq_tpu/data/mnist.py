@@ -35,13 +35,14 @@ def save_mnist_bin(data_dir: str, X: np.ndarray, y: np.ndarray, split: str) -> N
     np.ascontiguousarray(y, np.int32).tofile(os.path.join(data_dir, f"y_{split}.bin"))
 
 
-def synthetic_mnist(n: int = 10000, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+def synthetic_mnist(n: int = 10000, seed: int = 0, proto_seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic learnable surrogate: 10 gaussian class prototypes over
-    784 dims + noise, normalized like real MNIST. A linear-separable-ish
-    task the MLP trains to >95% on, so ladder timing/accuracy flows run
-    end-to-end without the dataset."""
+    784 dims + noise, normalized like real MNIST. The prototypes (the
+    "task") come from proto_seed so train/test splits drawn with different
+    `seed`s share one task; the MLP generalizes to >95% on it, so ladder
+    timing/accuracy flows run end-to-end without the dataset."""
+    protos = np.random.default_rng(proto_seed).normal(0, 1.0, (10, 784)).astype(np.float32)
     rng = np.random.default_rng(seed)
-    protos = rng.normal(0, 1.0, (10, 784)).astype(np.float32)
     y = rng.integers(0, 10, n).astype(np.int32)
     X = protos[y] + rng.normal(0, 1.5, (n, 784)).astype(np.float32)
     X = (X - X.mean()) / (X.std() + 1e-8)  # match normalized-contract stats

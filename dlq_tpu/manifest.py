@@ -231,9 +231,11 @@ def _dtype_name(dt) -> str:
 
 def _storage_shape(tm: TensorMeta) -> Tuple[int, ...]:
     if tm.dtype == "int4":
-        # packed: last dim halved, two nibbles per byte
+        # packed two-nibbles-per-byte along axis 0 (the contraction axis of a
+        # [K, O] weight) — matches quant.quantize.pack_int4 and the Pallas
+        # int4 kernels' in-register unpack layout
         s = list(tm.shape)
-        s[-1] = (s[-1] + 1) // 2
+        s[0] = (s[0] + 1) // 2
         return tuple(s)
     return tm.shape
 

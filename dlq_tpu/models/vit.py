@@ -1,0 +1,194 @@
+"""Tiny ViT / DeiT-Ti (BASELINE config 5): quantized attention projections
++ per-layer error logging harness.
+
+Standard ViT: patchify conv(p=16) -> +cls token +learned pos embed ->
+L x [LN -> MHSA -> res -> LN -> MLP(GELU) -> res] -> LN -> head on cls.
+DeiT-Ti: dim 192, 12 layers, 3 heads, mlp ratio 4.
+
+Quantization surface: every dense projection (qkv, attn out, mlp fc1/fc2,
+head) goes through ctx.dense sites -> W8A8 on the MXU. The softmax(QK^T)V
+matmuls stay in the fp32/bf16 interchange: they are small (seq 197) and
+sit between two quantization boundaries already; per-layer error logging
+(quant/error_report) shows whether they ever dominate the error budget.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from dlq_tpu.models.registry import register
+from dlq_tpu.models.common import dense
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch: int = 16
+    dim: int = 192
+    depth: int = 12
+    heads: int = 3
+    mlp_ratio: int = 4
+    num_classes: int = 1000
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @property
+    def seq_len(self) -> int:
+        return (self.image_size // self.patch) ** 2 + 1  # +cls
+
+
+def _trunc_normal(key, shape, std, dtype):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32).astype(dtype)
+
+
+def init_vit(key, cfg: ViTConfig) -> Params:
+    d = cfg.dtype
+    D = cfg.dim
+    keys = iter(jax.random.split(key, 8 + 8 * cfg.depth))
+    params: Params = {
+        # patchify as a dense over flattened patches (p*p*C, D): TPU-friendlier
+        # than a big-stride conv, identical math
+        "patch": {"w": _trunc_normal(next(keys), (cfg.patch * cfg.patch * cfg.in_channels, D), 0.02, d),
+                  "b": jnp.zeros((D,), d)},
+        "cls": _trunc_normal(next(keys), (1, 1, D), 0.02, d),
+        "pos": _trunc_normal(next(keys), (1, cfg.seq_len, D), 0.02, d),
+        "norm": {"g": jnp.ones((D,), d), "b": jnp.zeros((D,), d)},
+        "head": {"w": _trunc_normal(next(keys), (D, cfg.num_classes), 0.02, d),
+                 "b": jnp.zeros((cfg.num_classes,), d)},
+    }
+    layers = []
+    H = cfg.mlp_ratio * D
+    for _ in range(cfg.depth):
+        layers.append({
+            "ln1": {"g": jnp.ones((D,), d), "b": jnp.zeros((D,), d)},
+            "qkv": {"w": _trunc_normal(next(keys), (D, 3 * D), 0.02, d), "b": jnp.zeros((3 * D,), d)},
+            "proj": {"w": _trunc_normal(next(keys), (D, D), 0.02, d), "b": jnp.zeros((D,), d)},
+            "ln2": {"g": jnp.ones((D,), d), "b": jnp.zeros((D,), d)},
+            "fc1": {"w": _trunc_normal(next(keys), (D, H), 0.02, d), "b": jnp.zeros((H,), d)},
+            "fc2": {"w": _trunc_normal(next(keys), (H, D), 0.02, d), "b": jnp.zeros((D,), d)},
+        })
+    params["layers"] = layers
+    return params
+
+
+def layernorm(x, p, eps=1e-6):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """NHWC -> [B, N, p*p*C] patch rows (space-to-depth + flatten)."""
+    B, H, W, C = x.shape
+    gh, gw = H // patch, W // patch
+    x = x.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw p p C
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def attention(q, k, v, heads: int):
+    B, N, D = q.shape
+    hd = D // heads
+
+    def split(t):
+        return t.reshape(B, N, heads, hd).transpose(0, 2, 1, 3)  # B h N hd
+
+    q, k, v = split(q), split(k), split(v)
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(hd).astype(scores.dtype))
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+
+def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, taps: bool = False):
+    t: Dict[str, jnp.ndarray] = {}
+    B = x.shape[0]
+    y = dense(patchify(x, cfg.patch), params["patch"]["w"], params["patch"]["b"])
+    cls = jnp.broadcast_to(params["cls"].astype(y.dtype), (B, 1, cfg.dim))
+    y = jnp.concatenate([cls, y], axis=1) + params["pos"].astype(y.dtype)
+    if taps:
+        t["embed"] = y
+    for i, lp in enumerate(params["layers"]):
+        h = layernorm(y, lp["ln1"])
+        qkv = dense(h, lp["qkv"]["w"], lp["qkv"]["b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = attention(q, k, v, cfg.heads)
+        y = y + dense(a, lp["proj"]["w"], lp["proj"]["b"])
+        h = layernorm(y, lp["ln2"])
+        h = dense(h, lp["fc1"]["w"], lp["fc1"]["b"])
+        h = jax.nn.gelu(h, approximate=False)
+        y = y + dense(h, lp["fc2"]["w"], lp["fc2"]["b"])
+        if taps:
+            t[f"block{i}"] = y
+    y = layernorm(y, params["norm"])
+    logits = dense(y[:, 0], params["head"]["w"], params["head"]["b"])
+    if taps:
+        t["logits"] = logits
+        return logits, t
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# quantized path
+# ---------------------------------------------------------------------------
+
+def flatten_vit(params: Params) -> Params:
+    """Dense sites for the quantizer; LN/pos/cls stay fp32 'extras'."""
+    flat: Params = {"patch": dict(params["patch"])}
+    for i, lp in enumerate(params["layers"]):
+        for name in ("qkv", "proj", "fc1", "fc2"):
+            flat[f"l{i}.{name}"] = {"w": lp[name]["w"], "b": lp[name]["b"]}
+    flat["head"] = dict(params["head"])
+    return flat
+
+
+def vit_extras(params: Params) -> Params:
+    return {
+        "cls": params["cls"],
+        "pos": params["pos"],
+        "norm": params["norm"],
+        "ln": [{"ln1": lp["ln1"], "ln2": lp["ln2"]} for lp in params["layers"]],
+    }
+
+
+def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int):
+    def qforward(ctx, x, cfg, taps: bool = False):
+        t: Dict[str, jnp.ndarray] = {}
+        B = x.shape[0]
+        y = ctx.dense("patch", patchify(x, patch))
+        cls = jnp.broadcast_to(extras["cls"].astype(y.dtype), (B, 1, dim))
+        y = jnp.concatenate([cls, y], axis=1) + extras["pos"].astype(y.dtype)
+        for i in range(depth):
+            ln = extras["ln"][i]
+            h = layernorm(y, ln["ln1"])
+            qkv = ctx.dense(f"l{i}.qkv", h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            a = attention(q, k, v, heads)
+            y = y + ctx.dense(f"l{i}.proj", a)
+            h = layernorm(y, ln["ln2"])
+            h = ctx.dense(f"l{i}.fc1", h)
+            h = jax.nn.gelu(h, approximate=False)
+            y = y + ctx.dense(f"l{i}.fc2", h)
+            if taps:
+                t[f"block{i}"] = y
+        y = layernorm(y, extras["norm"])
+        logits = ctx.dense("head", y[:, 0])
+        if taps:
+            t["logits"] = logits
+            return logits, t
+        return logits
+
+    return qforward
+
+
+@register("deit_tiny")
+def _build_deit_tiny(**kw):
+    cfg = ViTConfig(**kw)
+    return cfg, init_vit, vit_forward

@@ -1,0 +1,201 @@
+"""Pallas TPU kernels: fused dequant + matmul.
+
+The TPU-native replacement for the reference's `sgemm_tiled.cu` (shared-mem
+tiled FP32 GEMM, `kernels/sgemm_tiled.cu:6-46`) — except the TPU version is
+quantization-native: weights stay resident int8/int4 in HBM, stream through
+VMEM, and dequantization happens in-register fused with the MXU matmul
+(BASELINE.json north star). No fp32 weight copy ever exists.
+
+Kernels:
+  int8_matmul   — x:int8[M,K] @ w:int8[K,N] -> int32 accum -> fp32 rescale
+                  (per-tensor or per-OC scale) + bias + optional relu
+  int4_matmul   — x:bf16[M,K] @ unpack(w:uint8[K/2,N]) with group-wise scales
+                  [K/g, N]; dequant in-register, bf16 MXU, fp32 accum
+
+Grid is (M-tiles, N-tiles, K-tiles) with K innermost; an fp32/int32 VMEM
+scratch accumulates across K steps (zeroed at k==0, epilogue at k==last).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 fused matmul
+# ---------------------------------------------------------------------------
+
+def _int8_mm_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, acc_ref, *, n_k, fuse_relu):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(
+        x_ref[:], w_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * scale_ref[:]  # (1,TN) broadcast
+        y = y + bias_ref[:]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fuse_relu", "tm", "tn", "tk", "interpret")
+)
+def int8_matmul(
+    x: jnp.ndarray,  # [M, K] int8
+    w: jnp.ndarray,  # [K, N] int8
+    scale: jnp.ndarray,  # [N] fp32 combined (act_scale * w_scale[oc])
+    bias: Optional[jnp.ndarray] = None,  # [N] fp32
+    fuse_relu: bool = False,
+    tm: int = 256,
+    tn: int = 256,
+    tk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused W8A8 GEMM with fp32 epilogue. Shapes must tile exactly
+    (engines pad params/batches to MXU-friendly sizes)."""
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2, (x.shape, w.shape)
+    tm, tn, tk = min(tm, M), min(tn, N), min(tk, K)
+    assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
+    n_k = K // tk
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    scale2 = jnp.broadcast_to(scale.astype(jnp.float32), (N,)).reshape(1, N)
+    bias2 = bias.astype(jnp.float32).reshape(1, N)
+
+    grid = (M // tm, N // tn, n_k)
+    return pl.pallas_call(
+        functools.partial(_int8_mm_kernel, n_k=n_k, fuse_relu=fuse_relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + 4 * M * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w, scale2, bias2)
+
+
+# ---------------------------------------------------------------------------
+# W4A16 fused dequant matmul (weight-only int4, group-wise scales)
+# ---------------------------------------------------------------------------
+
+def _int4_mm_kernel(x_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
+                    *, n_k, tk, group, fuse_relu):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # unpack nibbles in-register: wp [tk//2, tn] uint8 -> [tk, tn] int8
+    wp = wp_ref[:]
+    lo = (wp & 0xF).astype(jnp.int8)
+    hi = ((wp >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    # packed layout: byte r holds logical rows 2r (lo) and 2r+1 (hi)
+    w = jnp.stack([lo, hi], axis=1).reshape(tk, wp.shape[-1])
+    # group-wise dequant: scale_ref [tk//group, tn] -> element-repeat each
+    # group row `group` times (NOT pltpu.repeat, which tiles the whole block)
+    s = scale_ref[:]
+    ng, tn_ = s.shape
+    scales = jnp.broadcast_to(s[:, None, :], (ng, group, tn_)).reshape(tk, tn_)
+    wf = w.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot(
+        x_ref[:].astype(jnp.bfloat16), wf, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        y = acc_ref[:] + bias_ref[:]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "fuse_relu", "tm", "tn", "tk", "interpret")
+)
+def int4_matmul(
+    x: jnp.ndarray,  # [M, K] fp32/bf16
+    w_packed: jnp.ndarray,  # [K//2, N] uint8 (two nibbles per byte along K)
+    scales: jnp.ndarray,  # [K//group, N] fp32
+    bias: Optional[jnp.ndarray] = None,
+    group: int = 128,
+    fuse_relu: bool = False,
+    tm: int = 256,
+    tn: int = 256,
+    tk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Weight-only int4 GEMM: weights live packed in HBM (4 bits/value +
+    fp32 scale per 128-group), unpacked + dequantized in-register."""
+    M, K = x.shape
+    Kh, N = w_packed.shape
+    assert Kh * 2 == K, (x.shape, w_packed.shape)
+    tm, tn = min(tm, M), min(tn, N)
+    tk = min(tk, K)
+    if tk % group != 0:
+        tk = group
+    assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
+    assert K % group == 0 and scales.shape == (K // group, N), scales.shape
+    n_k = K // tk
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    bias2 = bias.astype(jnp.float32).reshape(1, N)
+
+    grid = (M // tm, N // tn, n_k)
+    return pl.pallas_call(
+        functools.partial(_int4_mm_kernel, n_k=n_k, tk=tk, group=group, fuse_relu=fuse_relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // group, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + Kh * N + 4 * M * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_packed, scales, bias2)

@@ -119,8 +119,10 @@ def qdense(
     for the Pallas path, here via XLA fusion) matmul in fp32/bf16.
     qw.values: [I, O] int8 or packed int4.
     """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
     if act_scale is not None and qw.bits == 8:
-        xq = quantize_act(x, act_scale)
+        xq = quantize_act(x2, act_scale)
         if int8_dot_supported(jax.default_backend()):
             acc = jax.lax.dot(xq, qw.values, preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32)
@@ -135,9 +137,10 @@ def qdense(
         from dlq_tpu.quant.quantize import dequantize
 
         w = dequantize(qw).astype(x.dtype)
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = jnp.dot(x2, w, preferred_element_type=jnp.float32)
     if bias is not None:
         y = y + bias
     if fuse_relu:
         y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    return y.reshape(lead + (y.shape[-1],)) if x.ndim != 2 else y

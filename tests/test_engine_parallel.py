@@ -1,0 +1,102 @@
+"""Engine + sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlq_tpu import numerics
+from dlq_tpu.engine import Engine
+from dlq_tpu.models.resnet import (
+    ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward, resnet_forward,
+)
+from dlq_tpu.parallel.mesh import MeshConfig, make_mesh
+from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ResNetConfig(depth=18, num_classes=16, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    calib = [jnp.asarray(x)]
+    return cfg, params, flat, x, calib
+
+
+def test_engine_fp32(setup):
+    cfg, params, flat, x, calib = setup
+    eng = Engine.fp32(resnet_forward, params, cfg, batch=8)
+    out = eng(x)
+    ref = resnet_forward(params, jnp.asarray(x), cfg)
+    numerics.check(np.asarray(out), np.asarray(ref), atol=1e-5, what="engine_fp32")
+
+
+def test_engine_padding(setup):
+    """Remainder batches pad to the compiled batch and return real rows."""
+    cfg, params, flat, x, calib = setup
+    eng = Engine.fp32(resnet_forward, params, cfg, batch=8)
+    out = eng(x[:3])
+    assert out.shape[0] == 3
+    ref = resnet_forward(params, jnp.asarray(x[:3]), cfg)
+    numerics.check(np.asarray(out), np.asarray(ref), atol=1e-5, what="engine_pad")
+
+
+def test_engine_classify_streams(setup):
+    cfg, params, flat, x, calib = setup
+    eng = Engine.fp32(resnet_forward, params, cfg, batch=4)
+    big = np.concatenate([x, x[:2]])  # 10 images through batch-4 engine
+    preds = eng.classify(big)
+    ref = np.argmax(np.asarray(resnet_forward(params, jnp.asarray(big), cfg)), -1)
+    np.testing.assert_array_equal(preds, ref)
+    assert eng.stats.images == 10
+
+
+def test_engine_quantized(setup):
+    cfg, params, flat, x, calib = setup
+    eng = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL, calib_batches=calib, batch=8)
+    out = np.asarray(eng(x))
+    fp32 = np.asarray(resnet_forward(params, jnp.asarray(x), cfg))
+    assert numerics.top1_agreement(out, fp32) >= 7 / 8
+    assert numerics.diff(out, fp32).cosine > 0.999
+
+
+def test_engine_bf16(setup):
+    cfg, params, flat, x, calib = setup
+    eng = Engine.bf16(resnet_forward, params, cfg, batch=8)
+    out = np.asarray(eng(x))
+    fp32 = np.asarray(resnet_forward(params, jnp.asarray(x), cfg))
+    assert numerics.top1_agreement(out, fp32) >= 7 / 8
+
+
+def test_dp_sharded_engine_matches_single(setup):
+    """Batch-sharded over 8 devices == single-device numerics."""
+    cfg, params, flat, x, calib = setup
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    eng = Engine.fp32(resnet_forward, params, cfg, batch=8, mesh=mesh)
+    out = np.asarray(eng(x))
+    ref = np.asarray(resnet_forward(params, jnp.asarray(x), cfg))
+    numerics.check(out, ref, atol=1e-5, what="dp_sharded")
+
+
+def test_tp_sharded_quantized_matches_single(setup):
+    """dp x tp sharded int8 engine == unsharded int8 engine (collectives
+    inserted by GSPMD must not change numerics)."""
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL, calib_batches=calib, batch=8)
+    ref = np.asarray(eng1(x))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    eng2 = Engine.quantized(
+        qforward, flat, cfg, INT8_PER_CHANNEL, act_scales=eng1.act_scales,
+        batch=8, mesh=mesh, tensor_parallel=True,
+    )
+    out = np.asarray(eng2(x))
+    numerics.check(out, ref, atol=1e-4, what="tp_int8")
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=-1, model=2))
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(MeshConfig(data=3, model=3))

@@ -44,10 +44,10 @@ def test_quant_block_roundtrip(tmp_path):
 def test_int4_packed_storage(tmp_path):
     m = Manifest(str(tmp_path / "i4"))
     packed = np.random.default_rng(0).integers(0, 256, (64, 10)).astype(np.uint8)
-    m.add("w4", packed, dtype="int4", logical_shape=(64, 20), kind="dense_weight")
+    m.add("w4", packed, dtype="int4", logical_shape=(128, 10), kind="dense_weight")
     m.save()
     m2 = Manifest.load(str(tmp_path / "i4"))
-    assert m2.tensors["w4"].shape == (64, 20)
+    assert m2.tensors["w4"].shape == (128, 10)
     assert m2.read("w4").shape == (64, 10)
 
 

@@ -1,0 +1,89 @@
+"""Fused dequant+matmul Pallas kernel tests (interpret mode on CPU; the
+same kernels compile for TPU — bench/roofline.py measures them there)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlq_tpu.ops.pallas_matmul import int4_matmul, int8_matmul
+from dlq_tpu.quant.quantize import pack_int4
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    M, K, N = 256, 512, 256
+    return rng, M, K, N
+
+
+def test_int8_matmul_exact(data):
+    rng, M, K, N = data
+    x = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    w = rng.integers(-127, 128, (K, N)).astype(np.int8)
+    scale = (rng.random(N) * 0.01).astype(np.float32)
+    bias = rng.normal(0, 1, N).astype(np.float32)
+    y = int8_matmul(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                    jnp.asarray(bias), interpret=True)
+    ref = x.astype(np.int64) @ w.astype(np.int64) * scale + bias
+    # int32 accumulation is exact; only the fp32 epilogue rounds
+    rel = np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6
+
+
+def test_int8_matmul_relu_epilogue(data):
+    rng, M, K, N = data
+    x = rng.integers(-5, 6, (M, K)).astype(np.int8)
+    w = rng.integers(-5, 6, (K, N)).astype(np.int8)
+    scale = np.full(N, 0.1, np.float32)
+    y = int8_matmul(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                    None, fuse_relu=True, interpret=True)
+    assert float(jnp.min(y)) >= 0.0
+    ref = np.maximum(x.astype(np.int64) @ w.astype(np.int64) * scale, 0)
+    assert np.allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_multi_k_tiles(data):
+    """K spans multiple tiles -> exercises scratch accumulation across steps."""
+    rng, _, _, _ = data
+    M, K, N = 128, 2048, 128
+    x = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    w = rng.integers(-127, 128, (K, N)).astype(np.int8)
+    scale = np.ones(N, np.float32)
+    y = int8_matmul(jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+                    None, tk=512, interpret=True)
+    ref = x.astype(np.int64) @ w.astype(np.int64)
+    assert np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_int4_matmul_groupwise(data):
+    rng, M, K, N = data
+    q = rng.integers(-8, 8, (K, N)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    g = 128
+    scales = (rng.random((K // g, N)) * 0.05 + 0.01).astype(np.float32)
+    bias = rng.normal(0, 1, N).astype(np.float32)
+    x = rng.normal(0, 1, (M, K)).astype(np.float32)
+    y = int4_matmul(jnp.asarray(x), packed, jnp.asarray(scales),
+                    jnp.asarray(bias), group=g, interpret=True)
+    wf = q.astype(np.float32) * np.repeat(scales, g, axis=0)
+    ref = x @ wf + bias
+    rel = np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < 0.01  # bf16 matmul precision
+
+
+def test_int4_matmul_vs_qdense_oracle(data):
+    """Kernel must agree with the XLA weight-only path on the same QTensor."""
+    from dlq_tpu.quant import QScheme, quantize_tensor
+    from dlq_tpu.quant.quantize import dequantize
+
+    rng, _, _, _ = data
+    M, K, N = 128, 256, 128
+    w = rng.normal(0, 1, (K, N)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), QScheme(4, True, -1, group=128))
+    x = rng.normal(0, 1, (M, K)).astype(np.float32)
+    y_kernel = int4_matmul(jnp.asarray(x), qt.values, qt.scale, None,
+                           group=128, tk=128, interpret=True)
+    y_oracle = x @ np.asarray(dequantize(qt))
+    rel = np.abs(np.asarray(y_kernel, np.float64) - y_oracle).max() / np.abs(y_oracle).max()
+    assert rel < 0.01

@@ -1,0 +1,132 @@
+"""End-to-end PTQ pipeline tests: calibration, deploy-vs-simulate parity,
+quantized store round-trip, per-layer error report."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlq_tpu import numerics
+from dlq_tpu.models.resnet import (
+    ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward, resnet_forward,
+)
+from dlq_tpu.quant.calibrate import calibrate
+from dlq_tpu.quant.error_report import quant_error_report
+from dlq_tpu.quant.model_quant import (
+    DeployCtx, ObserveCtx, SimulateCtx, make_sites_fn, quantize_weights,
+)
+from dlq_tpu.quant.qconfig import (
+    INT4_WEIGHT_ONLY_G128, INT8_PER_CHANNEL, INT8_PER_TENSOR, QConfig,
+)
+from dlq_tpu.quant.store import load_quantized, save_quantized
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ResNetConfig(depth=18, num_classes=10, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32)
+    fp32 = np.asarray(resnet_forward(params, x, cfg))
+    return cfg, params, flat, x, fp32
+
+
+def _deploy(flat, cfg, qcfg, x, calib=None):
+    scales = None
+    if not qcfg.weight_only:
+        scales = calibrate(make_sites_fn(qforward, cfg), flat, calib or [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    dep = qforward(DeployCtx(qflat, scales, qcfg), x, cfg)
+    return qflat, scales, np.asarray(dep)
+
+
+def test_int8_per_channel_accuracy(setup):
+    cfg, params, flat, x, fp32 = setup
+    _, _, dep = _deploy(flat, cfg, INT8_PER_CHANNEL, x)
+    assert numerics.diff(dep, fp32).cosine > 0.999
+    assert numerics.top1_agreement(dep, fp32) == 1.0
+
+
+def test_per_channel_beats_per_tensor(setup):
+    cfg, params, flat, x, fp32 = setup
+    _, _, dep_pc = _deploy(flat, cfg, INT8_PER_CHANNEL, x)
+    _, _, dep_pt = _deploy(flat, cfg, INT8_PER_TENSOR, x)
+    assert numerics.diff(dep_pc, fp32).rel_l2 <= numerics.diff(dep_pt, fp32).rel_l2 * 1.5
+
+
+def test_deploy_matches_simulate(setup):
+    """The simulated-quant fp32 oracle must track the integer deploy path
+    (same quantization decisions; only accumulation order differs)."""
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    dep = np.asarray(qforward(DeployCtx(qflat, scales, qcfg), x, cfg))
+    sim = np.asarray(qforward(SimulateCtx(qflat, scales, qcfg), x, cfg))
+    assert numerics.diff(dep, sim).cosine > 0.999
+
+
+def test_int4_weight_only(setup):
+    cfg, params, flat, x, fp32 = setup
+    _, _, dep = _deploy(flat, cfg, INT4_WEIGHT_ONLY_G128, x)
+    assert numerics.diff(dep, fp32).cosine > 0.98
+
+
+def test_calibration_methods(setup):
+    cfg, params, flat, x, fp32 = setup
+    for method in ("minmax", "percentile", "mse"):
+        qcfg = QConfig(calibration=method)
+        scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+        assert all(float(s) > 0 for s in scales.values())
+        if method != "minmax":
+            # clipping methods can only tighten scales
+            mm = calibrate(make_sites_fn(qforward, cfg), flat, [x], QConfig(calibration="minmax"))
+            assert all(float(scales[k]) <= float(mm[k]) + 1e-9 for k in scales)
+
+
+def test_store_roundtrip(setup, tmp_path):
+    """save_quantized -> load_quantized -> identical logits (bit-exact
+    weights/scales through the manifest)."""
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    before = np.asarray(qforward(DeployCtx(qflat, scales, qcfg), x, cfg))
+
+    save_quantized(str(tmp_path / "q"), "resnet18", qflat, scales, qcfg)
+    qflat2, scales2, qcfg2, _ = load_quantized(str(tmp_path / "q"))
+    after = np.asarray(qforward(DeployCtx(qflat2, scales2, qcfg2), x, cfg))
+    np.testing.assert_array_equal(before, after)
+
+
+def test_store_roundtrip_int4(setup, tmp_path):
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT4_WEIGHT_ONLY_G128
+    qflat = quantize_weights(flat, qcfg)
+    before = np.asarray(qforward(DeployCtx(qflat, None, qcfg), x, cfg))
+    save_quantized(str(tmp_path / "q4"), "resnet18", qflat, None, qcfg)
+    qflat2, scales2, qcfg2, _ = load_quantized(str(tmp_path / "q4"))
+    assert qcfg2.weight_only
+    after = np.asarray(qforward(DeployCtx(qflat2, None, qcfg2), x, cfg))
+    np.testing.assert_array_equal(before, after)
+
+
+def test_quant_error_report(setup, tmp_path):
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+
+    fp32_fn = jax.jit(lambda xx: resnet_forward(params, xx, cfg, taps=True))
+    q_fn = jax.jit(lambda xx: qforward(DeployCtx(qflat, scales, qcfg), xx, cfg, taps=True))
+
+    from dlq_tpu.runlog import RunLogger
+
+    logger = RunLogger(root=str(tmp_path / "logs"), script="test_report.py")
+    rep = quant_error_report(fp32_fn, q_fn, [x], logger=logger, params_info={"model": "r18"})
+    assert rep["top1_agreement"] == 1.0
+    assert set(rep["stages"]) >= {"stem", "layer1", "layer4", "logits"}
+    assert rep["worst_stage"] is not None
+    assert len(logger.rows()) == 1
+    assert "m_top1_agreement" in logger.rows()[0]

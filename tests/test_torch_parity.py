@@ -1,0 +1,67 @@
+"""Golden-fixture differential tests vs the torch oracle — the reference's
+step2..step8 validation ladder (SURVEY §4) as one pytest parameterization
+instead of per-step binaries. Gate: max_abs <= 1e-4 per stage (the
+reference's FP32 reorder tolerance, reports/Step2.md:135-137)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dlq_tpu import numerics
+from dlq_tpu.models.mlp import MLPConfig, init_mlp, mlp_forward
+from dlq_tpu.models.resnet import ResNetConfig, init_resnet, resnet_forward
+from dlq_tpu.interop.torch_oracle import torch_mlp_logits, torch_resnet_taps
+
+ATOL = 1e-4
+
+STAGES = ["stem", "layer1", "layer2", "layer3", "layer4", "gap", "logits"]
+
+
+@pytest.fixture(scope="module")
+def resnet_small():
+    cfg = ResNetConfig(depth=18, num_classes=10, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    logits, taps = jax.jit(lambda p, xx: resnet_forward(p, xx, cfg, taps=True))(params, x)
+    golden = torch_resnet_taps(params, cfg, x)
+    return taps, golden
+
+
+@pytest.mark.parametrize("stage", STAGES)
+def test_resnet18_stage_parity(resnet_small, stage):
+    """Stage-by-stage ladder: any stage over gate localizes the divergence
+    (replaces the reference's --dump_dir + diag_e2e_compare workflow)."""
+    taps, golden = resnet_small
+    d = numerics.check(np.asarray(taps[stage]), golden[stage], atol=ATOL, what=stage)
+    assert d.cosine > 0.9999
+
+
+def test_resnet18_imagenet_shape_e2e():
+    """Full 224px topology (stem stride-2 + maxpool path) vs torch."""
+    cfg = ResNetConfig(depth=18, num_classes=50)
+    params = init_resnet(jax.random.PRNGKey(1), cfg)
+    x = np.random.default_rng(1).normal(0, 1, (1, 224, 224, 3)).astype(np.float32)
+    logits = jax.jit(lambda p, xx: resnet_forward(p, xx, cfg))(params, x)
+    golden = torch_resnet_taps(params, cfg, x)
+    numerics.check(np.asarray(logits), golden["logits"], atol=ATOL, what="logits_224")
+
+
+def test_mlp_parity():
+    cfg = MLPConfig()
+    params = init_mlp(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).normal(0, 1, (8, 784)).astype(np.float32)
+    ours = jax.jit(lambda p, xx: mlp_forward(p, xx, cfg))(params, x)
+    golden = torch_mlp_logits(params, x)
+    numerics.check(np.asarray(ours), golden, atol=ATOL, what="mlp_logits")
+
+
+def test_top1_agreement_batch():
+    """Statistical e2e test (reference step9 methodology): 100% top-1
+    agreement with the oracle over a batch of random images."""
+    cfg = ResNetConfig(depth=18, num_classes=10, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(2), cfg)
+    x = np.random.default_rng(2).normal(0, 1, (16, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(jax.jit(lambda p, xx: resnet_forward(p, xx, cfg))(params, x))
+    golden = torch_resnet_taps(params, cfg, x)["logits"]
+    assert numerics.top1_agreement(ours, golden) == 1.0
+    assert numerics.diff(ours, golden).cosine > 0.99999
