@@ -34,7 +34,7 @@ def main():
     )
     from dlq_tpu.quant.model_quant import ObserveCtx
     from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
-    from dlq_tpu.timing import time_fn
+    from dlq_tpu.timing import device_time_fn
 
     cfg = ResNetConfig(depth=18, num_classes=1000)
     params = init_resnet(jax.random.PRNGKey(0), cfg)
@@ -48,16 +48,20 @@ def main():
         return qforward(ObserveCtx(p), xb, cfg)
 
     eng_fp32 = Engine(fp32_fwd, flat, batch=batch, name="resnet18_fp32")
-    eng_fp32.warmup((size, size, 3))
-    r_fp32 = time_fn(eng_fp32._fn, eng_fp32.params, jnp.asarray(x), iters=iters, warmup=3)
+    r_fp32 = device_time_fn(fp32_fwd, eng_fp32.params, jnp.asarray(x), perturb_arg=1,
+                            n_small=2, n_big=2 + iters)
 
     # int8 engine
     eng_int8 = Engine.quantized(
         qforward, flat, cfg, INT8_PER_CHANNEL, calib_batches=calib,
         batch=batch, name="resnet18_int8",
     )
-    eng_int8.warmup((size, size, 3))
-    r_int8 = time_fn(eng_int8._fn, eng_int8.params, jnp.asarray(x), iters=iters, warmup=3)
+    def int8_fwd(p, xb):
+        from dlq_tpu.quant.model_quant import DeployCtx
+        return qforward(DeployCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL), xb, cfg)
+
+    r_int8 = device_time_fn(int8_fwd, eng_int8.params, jnp.asarray(x), perturb_arg=1,
+                            n_small=2, n_big=2 + iters)
 
     ips_int8 = batch / (r_int8["ms_median"] / 1e3)
     ips_fp32 = batch / (r_fp32["ms_median"] / 1e3)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dlq_tpu.timing import time_fn
+from dlq_tpu.timing import device_time_fn
 
 PEAKS: Dict[str, Dict[str, float]] = {
     # TFLOP/s (bf16), TOP/s (int8), GB/s HBM
@@ -47,11 +47,13 @@ def measure_matmul_kernel(
     dtype: str = "int8",
     iters: int = 20,
     chip: Optional[str] = None,
+    args=None,
 ) -> Dict[str, float]:
-    """Time `fn()` (a closed-over kernel call) computing a [M,K]x[K,N]
-    matmul; report achieved ops/s and fraction of `dtype` peak."""
+    """Time fn(*args) computing a [M,K]x[K,N] matmul via the chained-slope
+    method (honest device time even on async/relay backends); report
+    achieved ops/s and fraction of `dtype` peak."""
     chip = chip or detect_chip()
-    r = time_fn(fn, iters=iters, warmup=3)
+    r = device_time_fn(fn, *args, n_small=2, n_big=2 + iters)
     flops = 2.0 * M * N * K
     achieved = flops / (r["ms_median"] / 1e3)
     peak = PEAKS[chip][dtype]
@@ -72,10 +74,10 @@ def int8_matmul_roofline(M=4096, K=4096, N=4096, iters=20, **kw) -> Dict[str, fl
     w = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
     scale = jnp.ones((N,), jnp.float32)
 
-    def run():
-        return int8_matmul(x, w, scale, None, **kw)
+    def run(xx, ww):
+        return int8_matmul(xx, ww, scale, None, **kw)
 
-    return measure_matmul_kernel(run, M, K, N, dtype="int8", iters=iters)
+    return measure_matmul_kernel(run, M, K, N, dtype="int8", iters=iters, args=(x, w))
 
 
 def xla_int8_matmul_roofline(M=4096, K=4096, N=4096, iters=20) -> Dict[str, float]:
@@ -87,10 +89,7 @@ def xla_int8_matmul_roofline(M=4096, K=4096, N=4096, iters=20) -> Dict[str, floa
     f = jax.jit(lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.int32)
                 .astype(jnp.float32) * scale)
 
-    def run():
-        return f(x, w)
-
-    return measure_matmul_kernel(run, M, K, N, dtype="int8", iters=iters)
+    return measure_matmul_kernel(f, M, K, N, dtype="int8", iters=iters, args=(x, w))
 
 
 def bf16_matmul_roofline(M=4096, K=4096, N=4096, iters=20) -> Dict[str, float]:
@@ -99,10 +98,7 @@ def bf16_matmul_roofline(M=4096, K=4096, N=4096, iters=20) -> Dict[str, float]:
     w = jnp.asarray(rng.normal(0, 1, (K, N)), jnp.bfloat16)
     f = jax.jit(lambda a, b: jax.lax.dot(a, b, preferred_element_type=jnp.float32))
 
-    def run():
-        return f(x, w)
-
-    return measure_matmul_kernel(run, M, K, N, dtype="bf16", iters=iters)
+    return measure_matmul_kernel(f, M, K, N, dtype="bf16", iters=iters, args=(x, w))
 
 
 def int4_matmul_roofline(M=4096, K=4096, N=4096, group=128, iters=20) -> Dict[str, float]:
@@ -113,7 +109,7 @@ def int4_matmul_roofline(M=4096, K=4096, N=4096, group=128, iters=20) -> Dict[st
     wp = jnp.asarray(rng.integers(0, 256, (K // 2, N)), jnp.uint8)
     scales = jnp.asarray(rng.random((K // group, N)), jnp.float32)
 
-    def run():
-        return int4_matmul(x, wp, scales, None, group=group)
+    def run(xx, wpp):
+        return int4_matmul(xx, wpp, scales, None, group=group)
 
-    return measure_matmul_kernel(run, M, K, N, dtype="bf16", iters=iters)
+    return measure_matmul_kernel(run, M, K, N, dtype="bf16", iters=iters, args=(x, wp))

@@ -127,10 +127,13 @@ def _int4_mm_kernel(x_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
     hi = jnp.where(hi >= 8, hi - 16, hi)
     # packed layout: byte r holds logical rows 2r (lo) and 2r+1 (hi)
     w = jnp.stack([lo, hi], axis=1).reshape(tk, wp.shape[-1])
-    # group-wise dequant: scale_ref [tk//group, tn] -> element-repeat each
-    # group row `group` times (NOT pltpu.repeat, which tiles the whole block)
-    s = scale_ref[:]
-    ng, tn_ = s.shape
+    # group-wise dequant. scale_ref carries ALL K//group rows (a tk//group
+    # slice would violate the TPU min-sublane constraint); slice this k-step's
+    # groups, then element-repeat each group row `group` times (NOT
+    # pltpu.repeat, which tiles the whole block).
+    ng = tk // group
+    s = scale_ref[pl.ds(k * ng, ng), :]
+    tn_ = s.shape[-1]
     scales = jnp.broadcast_to(s[:, None, :], (ng, group, tn_)).reshape(tk, tn_)
     wf = w.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot(
@@ -183,7 +186,7 @@ def int4_matmul(
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 2, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // group, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // group, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
