@@ -241,6 +241,46 @@ def qforward(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
     return logits
 
 
+def qforward_fused(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
+    """INT8-interchange deploy topology (use with FusedDeployCtx).
+
+    Semantics-identical to `qforward`+DeployCtx — the same quantize-at-
+    consumer-scale decisions — but activations travel int8 inside each
+    BasicBlock (conv1 emits the int8 tensor conv2 consumes, requantization
+    fused in the conv epilogue); only block-boundary tensors (residual adds)
+    stay fp32. The 1x1 downsample shares conv1's quantized input (same
+    tensor => same calibrated scale).
+    """
+    t: Dict[str, jnp.ndarray] = {}
+    nb = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[cfg.depth]
+    if cfg.small_input:
+        y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True)
+    else:
+        y = ctx.conv("stem", x, stride=2, padding=3, fuse_relu=True)
+        y = maxpool2d(y, 3, 2, 1)
+    if taps:
+        t["stem"] = y
+    for s in range(4):
+        for b in range(nb[s]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            site = f"layer{s+1}.{b}"
+            yq = ctx.quant(f"{site}.conv1", y)
+            z = ctx.conv(f"{site}.conv1", yq, stride=stride, padding=1,
+                         fuse_relu=True, out_site=f"{site}.conv2")
+            z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1)
+            down = f"{site}.down"
+            sc = ctx.conv(down, yq, stride=stride, padding=0) if ctx.has(down) else y
+            y = relu(z + sc)
+        if taps:
+            t[f"layer{s+1}"] = y
+    g = global_avgpool(y)
+    logits = ctx.dense("fc", g)
+    if taps:
+        t["gap"], t["logits"] = g, logits
+        return logits, t
+    return logits
+
+
 @register("resnet18")
 def _build_resnet18(**kw):
     cfg = ResNetConfig(depth=18, **kw)

@@ -64,13 +64,16 @@ def int8_matmul(
     scale: jnp.ndarray,  # [N] fp32 combined (act_scale * w_scale[oc])
     bias: Optional[jnp.ndarray] = None,  # [N] fp32
     fuse_relu: bool = False,
-    tm: int = 256,
-    tn: int = 256,
+    tm: int = 512,
+    tn: int = 1024,
     tk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused W8A8 GEMM with fp32 epilogue. Shapes must tile exactly
-    (engines pad params/batches to MXU-friendly sizes)."""
+    (engines pad params/batches to MXU-friendly sizes).
+
+    Default tiles (512, 1024, 512) measured 89% of the v5e int8 roofline at
+    4096^3 (vs 85% for XLA's own int8 dot) — see bench/roofline.py."""
     M, K = x.shape
     K2, N = w.shape
     assert K == K2, (x.shape, w.shape)
@@ -119,10 +122,12 @@ def _int4_mm_kernel(x_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # unpack nibbles in-register: wp [tk//2, tn] uint8 -> [tk, tn] int8
-    wp = wp_ref[:]
-    lo = (wp & 0xF).astype(jnp.int8)
-    hi = ((wp >> 4) & 0xF).astype(jnp.int8)
+    # unpack nibbles in-register: wp [tk//2, tn] uint8 -> [tk, tn] int32.
+    # Mosaic can't legalize sub-word (i8) shifts on TPU vectors, so widen to
+    # i32 first — the widen/shift/mask all stay register-resident.
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
     # packed layout: byte r holds logical rows 2r (lo) and 2r+1 (hi)

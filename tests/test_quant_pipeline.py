@@ -130,3 +130,32 @@ def test_quant_error_report(setup, tmp_path):
     assert rep["worst_stage"] is not None
     assert len(logger.rows()) == 1
     assert "m_top1_agreement" in logger.rows()[0]
+
+
+def test_fused_int8_interchange_bit_exact(setup):
+    """FusedDeployCtx (int8 activations between ops, requant in epilogue)
+    must be BIT-EXACT vs DeployCtx — same quantize decisions, earlier."""
+    from dlq_tpu.models.resnet import qforward_fused
+    from dlq_tpu.quant.model_quant import FusedDeployCtx
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    ref = np.asarray(qforward(DeployCtx(qflat, scales, qcfg), x, cfg))
+    fused = np.asarray(qforward_fused(FusedDeployCtx(qflat, scales, qcfg), x, cfg))
+    np.testing.assert_array_equal(fused, ref)
+
+
+def test_fused_ctx_taps(setup):
+    from dlq_tpu.models.resnet import qforward_fused
+    from dlq_tpu.quant.model_quant import FusedDeployCtx
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    _, taps = qforward_fused(FusedDeployCtx(qflat, scales, qcfg), x, cfg, taps=True)
+    assert set(taps) >= {"stem", "layer1", "layer4", "logits"}
+    # taps are fp32 (block-boundary interchange), comparable to fp32 taps
+    assert all(np.asarray(v).dtype == np.float32 for v in taps.values())
