@@ -218,3 +218,142 @@ def torch_mlp_train(X, Y, cfg, epochs: int = None) -> Dict[str, Any]:
         history.append({"epoch": epoch, "loss": ep_loss / steps})
     return {"total_s": time.perf_counter() - t_all,
             "phases_s": phases, "history": history, "final_loss": history[-1]["loss"]}
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 oracle
+# ---------------------------------------------------------------------------
+
+def build_torch_mobilenetv2(params: Dict[str, Any], cfg) -> "Any":
+    """Torch mirror of models.mobilenetv2 (inverted residuals, ReLU6)."""
+    import torch
+    import torch.nn as nn
+
+    from dlq_tpu.models.mobilenetv2 import block_meta
+
+    meta = block_meta(cfg)
+
+    class InvRes(nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+            h = m["hidden"]
+            if m["expand"]:
+                self.expand = nn.Conv2d(m["cin"], h, 1, bias=False)
+                self.bn_e = nn.BatchNorm2d(h)
+            self.dw = nn.Conv2d(h, h, 3, m["stride"], 1, groups=h, bias=False)
+            self.bn_d = nn.BatchNorm2d(h)
+            self.project = nn.Conv2d(h, m["cout"], 1, bias=False)
+            self.bn_p = nn.BatchNorm2d(m["cout"])
+
+        def forward(self, x):
+            y = x
+            if self.m["expand"]:
+                y = torch.clamp(self.bn_e(self.expand(y)), 0, 6)
+            y = torch.clamp(self.bn_d(self.dw(y)), 0, 6)
+            y = self.bn_p(self.project(y))
+            return x + y if self.m["has_res"] else y
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            c0 = cfg.ch(32)
+            self.stem = nn.Conv2d(cfg.in_channels, c0, 3,
+                                  1 if cfg.small_input else 2, 1, bias=False)
+            self.bn_s = nn.BatchNorm2d(c0)
+            self.blocks = nn.ModuleList([InvRes(m) for m in meta])
+            ch = cfg.ch(1280)
+            self.head = nn.Conv2d(meta[-1]["cout"], ch, 1, bias=False)
+            self.bn_h = nn.BatchNorm2d(ch)
+            self.fc = nn.Linear(ch, cfg.num_classes)
+
+        def forward(self, x, taps=None):
+            y = torch.clamp(self.bn_s(self.stem(x)), 0, 6)
+            for i, b in enumerate(self.blocks):
+                y = b(y)
+                if taps is not None:
+                    taps[f"block{i}"] = y
+            y = torch.clamp(self.bn_h(self.head(y)), 0, 6)
+            g = y.mean(dim=(2, 3))
+            logits = self.fc(g)
+            if taps is not None:
+                taps["gap"], taps["logits"] = g, logits
+            return logits
+
+    net = Net().eval()
+
+    def load_bn(mod, bn):
+        mod.weight.data = _t(bn["gamma"]); mod.bias.data = _t(bn["beta"])
+        mod.running_mean.data = _t(bn["mean"]); mod.running_var.data = _t(bn["var"])
+
+    net.stem.weight.data = hwio_to_oihw(params["stem"]["w"])
+    load_bn(net.bn_s, params["stem"]["bn"])
+    for i, (bp, blk) in enumerate(zip(params["blocks"], net.blocks)):
+        if "expand" in bp:
+            blk.expand.weight.data = hwio_to_oihw(bp["expand"]["w"])
+            load_bn(blk.bn_e, bp["expand"]["bn"])
+        # depthwise: ours HWIO [3,3,1,H] -> torch [H,1,3,3]
+        blk.dw.weight.data = hwio_to_oihw(bp["dw"]["w"])
+        load_bn(blk.bn_d, bp["dw"]["bn"])
+        blk.project.weight.data = hwio_to_oihw(bp["project"]["w"])
+        load_bn(blk.bn_p, bp["project"]["bn"])
+    net.head.weight.data = hwio_to_oihw(params["head"]["w"])
+    load_bn(net.bn_h, params["head"]["bn"])
+    net.fc.weight.data = io_to_oi(params["fc"]["w"])
+    net.fc.bias.data = _t(params["fc"]["b"])
+    return net
+
+
+def torch_mobilenetv2_taps(params, cfg, x_nhwc: np.ndarray) -> Dict[str, np.ndarray]:
+    import torch
+
+    net = build_torch_mobilenetv2(params, cfg)
+    taps: Dict[str, Any] = {}
+    with torch.no_grad():
+        net(_t(nhwc_to_nchw(x_nhwc)), taps=taps)
+    return {k: (nchw_to_nhwc(v.numpy()) if v.ndim == 4 else v.numpy())
+            for k, v in taps.items()}
+
+
+# ---------------------------------------------------------------------------
+# ViT (DeiT-Ti) oracle
+# ---------------------------------------------------------------------------
+
+def torch_vit_logits(params, cfg, x_nhwc: np.ndarray) -> np.ndarray:
+    """Torch mirror of models.vit (patch-dense, pre-LN blocks, GELU)."""
+    import torch
+    import torch.nn.functional as F
+
+    with torch.no_grad():
+        x = _t(x_nhwc)
+        B, H, W, C = x.shape
+        p = cfg.patch
+        gh, gw = H // p, W // p
+        xp = x.reshape(B, gh, p, gw, p, C).permute(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, p * p * C)
+        y = xp @ _t(params["patch"]["w"]) + _t(params["patch"]["b"])
+        cls = _t(params["cls"]).expand(B, 1, cfg.dim)
+        y = torch.cat([cls, y], dim=1) + _t(params["pos"])
+
+        def ln(t, lp):
+            return F.layer_norm(t, (cfg.dim,), _t(lp["g"]), _t(lp["b"]), eps=1e-6)
+
+        hd = cfg.dim // cfg.heads
+        for lp in params["layers"]:
+            h = ln(y, lp["ln1"])
+            qkv = h @ _t(lp["qkv"]["w"]) + _t(lp["qkv"]["b"])
+            q, k, v = qkv.chunk(3, dim=-1)
+
+            def split(t):
+                return t.reshape(B, -1, cfg.heads, hd).permute(0, 2, 1, 3)
+
+            q, k, v = split(q), split(k), split(v)
+            attn = torch.softmax(q @ k.transpose(-1, -2) / (hd ** 0.5), dim=-1)
+            a = (attn @ v).permute(0, 2, 1, 3).reshape(B, -1, cfg.dim)
+            y = y + a @ _t(lp["proj"]["w"]) + _t(lp["proj"]["b"])
+            h = ln(y, lp["ln2"])
+            h = h @ _t(lp["fc1"]["w"]) + _t(lp["fc1"]["b"])
+            h = F.gelu(h, approximate="none")
+            y = y + h @ _t(lp["fc2"]["w"]) + _t(lp["fc2"]["b"])
+        y = F.layer_norm(y, (cfg.dim,), _t(params["norm"]["g"]), _t(params["norm"]["b"]), eps=1e-6)
+        logits = y[:, 0] @ _t(params["head"]["w"]) + _t(params["head"]["b"])
+        return logits.numpy()

@@ -60,6 +60,33 @@ def lenet_forward(params: Params, x: jnp.ndarray, cfg: LeNetConfig = LeNetConfig
     return logits
 
 
+def flatten_params(params: Params) -> Params:
+    """Flat quantization sites (BASELINE config 1: per-tensor INT8 PTQ)."""
+    return {k: {"w": v["w"], "b": v["b"]} for k, v in params.items()}
+
+
+def qforward(ctx, x: jnp.ndarray, cfg: LeNetConfig = LeNetConfig(), taps: bool = False):
+    t = {}
+    if x.ndim == 2:  # flat MNIST rows -> images
+        x = x.reshape(x.shape[0], 28, 28, cfg.in_channels)
+    if x.shape[1] == 28:
+        x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    y = avgpool2d(ctx.conv("conv1", x, fuse_relu=True), 2, 2)
+    if taps:
+        t["conv1"] = y
+    y = avgpool2d(ctx.conv("conv2", y, fuse_relu=True), 2, 2)
+    if taps:
+        t["conv2"] = y
+    y = y.reshape(y.shape[0], -1)
+    y = ctx.dense("fc1", y, fuse_relu=True)
+    y = ctx.dense("fc2", y, fuse_relu=True)
+    logits = ctx.dense("fc3", y)
+    if taps:
+        t["logits"] = logits
+        return logits, t
+    return logits
+
+
 @register("lenet5")
 def _build_lenet(**kw):
     cfg = LeNetConfig(**kw)

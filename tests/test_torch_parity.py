@@ -65,3 +65,30 @@ def test_top1_agreement_batch():
     golden = torch_resnet_taps(params, cfg, x)["logits"]
     assert numerics.top1_agreement(ours, golden) == 1.0
     assert numerics.diff(ours, golden).cosine > 0.99999
+
+
+def test_mobilenetv2_parity():
+    from dlq_tpu.models.mobilenetv2 import (
+        MobileNetV2Config, init_mobilenetv2, mobilenetv2_forward,
+    )
+    from dlq_tpu.interop.torch_oracle import torch_mobilenetv2_taps
+
+    cfg = MobileNetV2Config(num_classes=10, small_input=True, width_mult=0.5)
+    params = init_mobilenetv2(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours, taps = jax.jit(lambda p, xx: mobilenetv2_forward(p, xx, cfg, taps=True))(params, x)
+    golden = torch_mobilenetv2_taps(params, cfg, x)
+    for stage in ("block0", "block5", "block16", "gap", "logits"):
+        numerics.check(np.asarray(taps[stage]), golden[stage], atol=1e-4, what=f"mnv2_{stage}")
+
+
+def test_deit_tiny_parity():
+    from dlq_tpu.models.vit import ViTConfig, init_vit, vit_forward
+    from dlq_tpu.interop.torch_oracle import torch_vit_logits
+
+    cfg = ViTConfig(image_size=32, patch=4, dim=96, depth=3, heads=3, num_classes=10)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours = jax.jit(lambda p, xx: vit_forward(p, xx, cfg))(params, x)
+    golden = torch_vit_logits(params, cfg, x)
+    numerics.check(np.asarray(ours), golden, atol=1e-4, what="vit_logits")
