@@ -20,7 +20,7 @@ import numpy as np
 
 def main():
     t0 = time.time()
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     size = 224
 

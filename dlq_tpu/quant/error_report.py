@@ -43,7 +43,7 @@ def quant_error_report(
         agree5 += numerics.topk_agreement(lq, lf, 5) * b
         cos += numerics.diff(lq, lf).cosine * b
         n += b
-        for name in tf:
+        for name in tf.keys() & tq.keys():  # shared stages only
             d = numerics.diff(np.asarray(tq[name]), np.asarray(tf[name]))
             prev = stage_accum.get(name)
             if prev is None or d.max_abs > prev.max_abs:
