@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: fused W8A8 3x3 stride-1 SAME conv (implicit GEMM).
+
+The reference lowered every conv to materialized im2col + SGEMM and measured
+the 65 ms cliff (`reports/Step2.md:106-118`). The TPU-native answer keeps the
+column matrix virtual: each program DMAs one spatially-haloed int8 slab from
+HBM into VMEM and accumulates nine [rows, C] x [C, OC] MXU matmuls — one per
+filter tap — over static in-register shifted views of the slab. int32
+accumulation, fp32 per-OC rescale + bias + relu epilogue, all fused.
+
+Covers the stride-1 3x3 body convs that carry most ResNet FLOPs; 1x1 convs
+are plain matmuls (`pallas_matmul.int8_matmul`), strided/7x7 stem stays on
+XLA's conv.
+
+Grid: (N / TB, OH / TOH, OC / TOC); halo windows overlap in H, which
+BlockSpec index maps cannot express, so the input stays in HBM/ANY and the
+kernel issues its own async copy per program (double-buffering left to the
+grid pipeline for outputs/weights).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tiles(N: int, OH: int, OW: int, C: int, OC: int):
+    """Choose (TB, TOH, TOC): rows = TB*TOH*OW around 512-2048, VMEM-safe."""
+    # VMEM budget for slab: TB*(TOH+2)*(OW+2)*C int8 <= ~4MB
+    def slab_bytes(tb, toh):
+        return tb * (toh + 2) * (OW + 2) * C
+
+    TB, TOH = 1, OH
+    # grow TOH down / TB up for small spatial dims
+    if OH * OW >= 512:
+        # tile H so rows ~1024
+        TOH = max(1, min(OH, 1024 // OW))
+        while OH % TOH != 0:
+            TOH -= 1
+        TB = 1
+    else:
+        # batch images into M
+        TB = max(1, 1024 // (OH * OW))
+        while N % TB != 0:
+            TB -= 1
+        TOH = OH
+    while slab_bytes(TB, TOH) > 4 * 1024 * 1024 and TOH > 1:
+        TOH = max(1, TOH // 2)
+        while OH % TOH != 0:
+            TOH -= 1
+    TOC = min(OC, 256)
+    while OC % TOC != 0:
+        TOC //= 2
+    return TB, TOH, TOC
+
+
+def _conv_kernel(xp_hbm, w_ref, scale_ref, bias_ref, o_ref, xs, acc_ref, sem,
+                 *, TB, TOH, OW, C, TOC, fuse_relu):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # DMA the haloed slab for (image-block n, row-block t): all W, all C
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[pl.ds(n * TB, TB), pl.ds(t * TOH, TOH + 2), :, :],
+        xs,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    rows = TB * TOH * OW
+    slab = xs[:]  # [TB, TOH+2, OW+2, C] int8
+    acc = jnp.zeros((rows, TOC), jnp.int32)
+    for kh in range(3):
+        for kw in range(3):
+            a = slab[:, kh : kh + TOH, kw : kw + OW, :].reshape(rows, C)
+            acc += jax.lax.dot(a, w_ref[kh * 3 + kw], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    if fuse_relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[:] = y.reshape(TB, TOH, OW, TOC)
+    del acc_ref  # accumulation fits in registers for 9 taps; scratch unused
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fuse_relu", "interpret")
+)
+def int8_conv3x3_s1(
+    x: jnp.ndarray,  # [N, H, W, C] int8 (UNpadded)
+    w: jnp.ndarray,  # [3, 3, C, OC] int8
+    scale: jnp.ndarray,  # (OC,) fp32 combined act*weight scale
+    bias: Optional[jnp.ndarray] = None,  # (OC,) fp32
+    fuse_relu: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N, H, W_, C = x.shape
+    kh, kw, C2, OC = w.shape
+    assert (kh, kw) == (3, 3) and C2 == C, (w.shape, x.shape)
+    OH, OW = H, W_
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # cheap int8 pad in XLA
+    TB, TOH, TOC = _pick_tiles(N, OH, OW, C, OC)
+    assert N % TB == 0 and OH % TOH == 0 and OC % TOC == 0, (N, OH, OC, TB, TOH, TOC)
+    if bias is None:
+        bias = jnp.zeros((OC,), jnp.float32)
+    w9 = w.reshape(9, C, OC)
+    scale2 = jnp.broadcast_to(scale.astype(jnp.float32), (OC,)).reshape(1, OC)
+    bias2 = bias.astype(jnp.float32).reshape(1, OC)
+
+    grid = (N // TB, OH // TOH, OC // TOC)
+    return pl.pallas_call(
+        functools.partial(
+            _conv_kernel, TB=TB, TOH=TOH, OW=OW, C=C, TOC=TOC, fuse_relu=fuse_relu
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual DMA
+            pl.BlockSpec((9, C, TOC), lambda n, t, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TOC), lambda n, t, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TOC), lambda n, t, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, TOH, OW, TOC), lambda n, t, j: (n, t, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, OH, OW, OC), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TB, TOH + 2, OW + 2, C), jnp.int8),
+            pltpu.VMEM((8, 128), jnp.int32),  # placeholder scratch
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * OH * OW * OC * C * 9,
+            bytes_accessed=N * H * W_ * C + 9 * C * OC + 4 * N * OH * OW * OC,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w9, scale2, bias2)

@@ -67,13 +67,15 @@ def int8_matmul(
     tm: int = 512,
     tn: int = 1024,
     tk: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused W8A8 GEMM with fp32 epilogue. Shapes must tile exactly
     (engines pad params/batches to MXU-friendly sizes).
 
     Default tiles (512, 1024, 512) measured 89% of the v5e int8 roofline at
     4096^3 (vs 85% for XLA's own int8 dot) — see bench/roofline.py."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     M, K = x.shape
     K2, N = w.shape
     assert K == K2, (x.shape, w.shape)
@@ -108,6 +110,35 @@ def int8_matmul(
         ),
         interpret=interpret,
     )(x, w, scale2, bias2)
+
+
+def int8_matmul_padded(x, w, scale, bias=None, fuse_relu=False, tile_m=256, **kw):
+    """int8_matmul with M padded up to a tile multiple (zero rows cost ~0
+    and slice off); K/N must already tile (weights are pre-padded offline)."""
+    M = x.shape[0]
+    Mp = _cdiv(M, tile_m) * tile_m
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    y = int8_matmul(x, w, scale, bias, fuse_relu=fuse_relu, tm=tile_m, **kw)
+    return y[:M] if Mp != M else y
+
+
+def int4_matmul_padded(x, w_packed, scales, bias=None, group=128,
+                       fuse_relu=False, tile_m=256, **kw):
+    """int4_matmul with M padded up to a tile multiple."""
+    M = x.shape[0]
+    Mp = _cdiv(M, tile_m) * tile_m
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    y = int4_matmul(x, w_packed, scales, bias, group=group,
+                    fuse_relu=fuse_relu, tm=tile_m, **kw)
+    return y[:M] if Mp != M else y
+
+
+def int4_shapes_ok(K: int, N: int, group: int, tn: int = 256, tk: int = 512) -> bool:
+    """Can the Pallas int4 kernel handle this weight (without weight padding)?"""
+    tk = tk if tk % group == 0 else group
+    return K % max(tk, group) == 0 and N % min(tn, N) == 0 and N % 128 == 0
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +197,12 @@ def int4_matmul(
     tm: int = 256,
     tn: int = 256,
     tk: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Weight-only int4 GEMM: weights live packed in HBM (4 bits/value +
     fp32 scale per 128-group), unpacked + dequantized in-register."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     M, K = x.shape
     Kh, N = w_packed.shape
     assert Kh * 2 == K, (x.shape, w_packed.shape)

@@ -24,6 +24,13 @@ import jax.numpy as jnp
 from dlq_tpu.quant.quantize import QTensor, quantize_act, unpack_int4
 
 
+def _int4_kernel_ok(qw) -> bool:
+    from dlq_tpu.ops.pallas_matmul import int4_shapes_ok
+
+    K, N = qw.shape
+    return int4_shapes_ok(K, N, qw.group)
+
+
 @functools.cache
 def int8_conv_supported(platform: Optional[str] = None) -> bool:
     """Probe once: can this backend lower int8xint8->int32 conv?"""
@@ -132,6 +139,19 @@ def qdense(
                 preferred_element_type=jnp.float32,
             )
         y = y * (act_scale * qw.scale)
+    elif (
+        qw.bits == 4
+        and qw.group is not None
+        and jax.default_backend() == "tpu"
+        and _int4_kernel_ok(qw)
+    ):
+        # weight-only int4 on TPU: fused Pallas dequant matmul — weights stay
+        # nibble-packed in HBM, unpacked in-register (never an fp32 copy)
+        from dlq_tpu.ops.pallas_matmul import int4_matmul_padded
+
+        y = int4_matmul_padded(
+            x2.astype(jnp.bfloat16), qw.values, qw.scale, None, group=qw.group
+        )
     else:
         # weight-only: XLA fuses the dequant into the matmul's operand read
         from dlq_tpu.quant.quantize import dequantize
