@@ -87,7 +87,7 @@ def _conv_kernel(xp_hbm, w_ref, scale_ref, bias_ref, o_ref, xs, acc_ref, sem,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fuse_relu", "interpret")
+    jax.jit, static_argnames=("fuse_relu", "interpret", "tiles")
 )
 def int8_conv3x3_s1(
     x: jnp.ndarray,  # [N, H, W, C] int8 (UNpadded)
@@ -96,6 +96,7 @@ def int8_conv3x3_s1(
     bias: Optional[jnp.ndarray] = None,  # (OC,) fp32
     fuse_relu: bool = False,
     interpret: bool | None = None,
+    tiles=None,  # optional explicit (TB, TOH, TOC)
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -104,7 +105,7 @@ def int8_conv3x3_s1(
     assert (kh, kw) == (3, 3) and C2 == C, (w.shape, x.shape)
     OH, OW = H, W_
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # cheap int8 pad in XLA
-    TB, TOH, TOC = _pick_tiles(N, OH, OW, C, OC)
+    TB, TOH, TOC = tiles if tiles is not None else _pick_tiles(N, OH, OW, C, OC)
     assert N % TB == 0 and OH % TOH == 0 and OC % TOC == 0, (N, OH, OC, TB, TOH, TOC)
     if bias is None:
         bias = jnp.zeros((OC,), jnp.float32)

@@ -55,7 +55,8 @@ def quantize_weights(flat: FlatParams, qcfg: QConfig) -> FlatParams:
                 qw = quantize_tensor(w2, scheme)
         else:
             qw = quantize_tensor(w, scheme)
-        out[site] = {"qw": qw, "b": p.get("b"), "w_shape": tuple(w.shape)}
+        qw.orig_shape = tuple(w.shape)
+        out[site] = {"qw": qw, "b": p.get("b")}
     return out
 
 
@@ -63,7 +64,7 @@ def _deq_weight(p: Dict[str, Any]) -> jnp.ndarray:
     """Dequantize a site's weight back to fp32 in its original layout."""
     qw: QTensor = p["qw"]
     w = dequantize(qw)
-    return w.reshape(p["w_shape"])
+    return w.reshape(qw.layout_shape)
 
 
 class ObserveCtx:
@@ -144,7 +145,7 @@ class SimulateCtx:
         p = self.qflat[name]
         xf = self._fake_act(name, x)
         qw: QTensor = p["qw"]
-        w = dequantize(qw).reshape(p["w_shape"])
+        w = dequantize(qw).reshape(qw.layout_shape)
         y = dense(xf, w, p.get("b"))
         return relu(y) if fuse_relu else y
 
@@ -242,14 +243,14 @@ class PallasDeployCtx(DeployCtx):
             return super().conv(name, x, stride=stride, padding=padding,
                                 groups=groups, fuse_relu=fuse_relu)
         qw: QTensor = p["qw"]
-        kh, kw = p["w_shape"][0], p["w_shape"][1]
+        kh, kw = qw.layout_shape[0], qw.layout_shape[1]
         s_in = self.act_scales[name]
         stride_t = (stride, stride) if isinstance(stride, int) else stride
         if groups == 1 and (kh, kw) == (3, 3) and stride_t == (1, 1) and padding in (1, (1, 1)):
             from dlq_tpu.ops.pallas_conv import int8_conv3x3_s1
 
             xq = quantize_act(x, s_in, self.qcfg.acts.qmax)
-            w = qw.values.reshape(p["w_shape"])
+            w = qw.values.reshape(qw.layout_shape)
             y = int8_conv3x3_s1(xq, w, s_in * qw.scale, p.get("b"), fuse_relu=fuse_relu)
             return y.astype(x.dtype)
         if groups == 1 and (kh, kw) == (1, 1) and stride_t == (1, 1) and padding in (0, (0, 0)):
@@ -257,7 +258,7 @@ class PallasDeployCtx(DeployCtx):
 
             xq = quantize_act(x, s_in, self.qcfg.acts.qmax)
             N, H, W, C = xq.shape
-            w2 = qw.values.reshape(C, p["w_shape"][-1])
+            w2 = qw.values.reshape(C, qw.layout_shape[-1])
             y = int8_matmul_padded(
                 xq.reshape(N * H * W, C), w2, s_in * qw.scale, p.get("b"),
                 fuse_relu=fuse_relu,

@@ -38,17 +38,23 @@ class QTensor:
     axis: Optional[int]
     group: Optional[int]
     shape: Tuple[int, ...]
+    # original layout shape (e.g. HWIO) when `shape` is a flattened [K, O]
+    # view; static aux data so it survives jit tracing as python ints
+    orig_shape: Optional[Tuple[int, ...]] = None
 
     def tree_flatten(self):
         leaves = (self.values, self.scale, self.zero_point)
-        aux = (self.bits, self.axis, self.group, self.shape)
+        aux = (self.bits, self.axis, self.group, self.shape, self.orig_shape)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         values, scale, zp = leaves
-        bits, axis, group, shape = aux
-        return cls(values, scale, zp, bits, axis, group, shape)
+        return cls(values, scale, zp, *aux)
+
+    @property
+    def layout_shape(self) -> Tuple[int, ...]:
+        return self.orig_shape if self.orig_shape is not None else self.shape
 
     @property
     def nbytes(self) -> int:

@@ -61,7 +61,7 @@ def save_quantized(
         )
         m.add(scale_name, np.asarray(qw.scale, np.float32), kind="scale")
         # record original layout shape so convs can reshape back
-        m.meta.setdefault("w_shapes", {})[site] = list(p["w_shape"])
+        m.meta.setdefault("w_shapes", {})[site] = list(p["qw"].layout_shape)
         if p.get("b") is not None:
             m.add(f"{site}.b", np.asarray(p["b"], np.float32), layout="O", kind="bias")
     for site, s in (act_scales or {}).items():
@@ -99,8 +99,8 @@ def load_quantized(root: str) -> Tuple[FlatParams, Dict[str, jnp.ndarray], QConf
                 axis=tm.quant.axis,
                 group=tm.quant.group,
                 shape=tuple(tm.shape),
+                orig_shape=tuple(w_shapes.get(site, tm.shape)),
             )
-            qflat[site]["w_shape"] = tuple(w_shapes.get(site, tm.shape))
         elif tm.kind == "bias":
             site = tm.name[: -len(".b")]
             qflat.setdefault(site, {})["b"] = jnp.asarray(m.read(tm.name))

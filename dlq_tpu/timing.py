@@ -152,19 +152,32 @@ def device_time_fn(
 
     run(n_small)  # compile both variants
     run(n_big)
-    samples = []
-    for _ in range(reps):
+
+    def sample(ns, nb):
         t0 = time.perf_counter()
-        run(n_small)
+        run(ns)
         ts = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run(n_big)
-        tb = time.perf_counter() - t0
+        run(nb)
+        return ts, time.perf_counter() - t0
+
+    # auto-scale the chain: for sub-ms kernels a 10-call slope drowns in the
+    # ~25 ms dispatch/fetch round-trip; grow n_big until the measured delta
+    # is comfortably above the noise floor (>= 100 ms), then take reps.
+    ts, tb = sample(n_small, n_big)
+    while (tb - ts) < 0.1 and n_big < 4000:
+        est_per = max((tb - ts) / (n_big - n_small), 5e-6)
+        n_big = min(4000, n_small + max(2 * (n_big - n_small), int(0.15 / est_per)))
+        run(n_big)  # compile the longer chain
+        ts, tb = sample(n_small, n_big)
+    samples = [(tb - ts) / (n_big - n_small) * 1e3]
+    for _ in range(reps - 1):
+        ts, tb = sample(n_small, n_big)
         samples.append((tb - ts) / (n_big - n_small) * 1e3)
     samples.sort()
     med = samples[len(samples) // 2]
     return {"ms_median": med, "ms_best": samples[0], "ms_mean": sum(samples) / len(samples),
-            "iters": float(reps)}
+            "iters": float(reps), "n_big": float(n_big)}
 
 
 @contextlib.contextmanager
