@@ -121,6 +121,57 @@ class Engine:
         eng.qflat = qflat
         return eng
 
+    @staticmethod
+    def from_store(qmanifest: str, ctx: str = "deploy", **kw) -> "Engine":
+        """Cold-start an engine from a deployed quantized store — no torch,
+        no calibration data, no fp32 weights (the artifact contract of
+        quant/store.py). ctx: "deploy" | "pallas" | "fused".
+        """
+        from dlq_tpu.manifest import Manifest
+        from dlq_tpu.quant import model_quant as MQ
+        from dlq_tpu.quant.store import load_quantized
+
+        qflat, act_scales, qcfg, extras = load_quantized(qmanifest)
+        man = Manifest.load(qmanifest)
+        mcfg = man.meta.get("config", {})
+        model = man.model
+        if model.startswith("resnet"):
+            from dlq_tpu.models.resnet import ResNetConfig, qforward, qforward_fused
+
+            cfg = ResNetConfig(
+                depth=int(model[6:]),
+                num_classes=mcfg.get("num_classes", 1000),
+                small_input=bool(mcfg.get("small_input", False)),
+            )
+            qf = qforward_fused if ctx == "fused" else qforward
+        elif model == "mobilenetv2":
+            from dlq_tpu.models.mobilenetv2 import MobileNetV2Config, block_meta, make_qforward
+
+            cfg = MobileNetV2Config(
+                num_classes=mcfg.get("num_classes", 1000),
+                small_input=bool(mcfg.get("small_input", False)),
+            )
+            qf = make_qforward(block_meta(cfg))
+        elif model == "mlp":
+            from dlq_tpu.models.mlp import MLPConfig, qforward as qf_mlp
+
+            cfg = MLPConfig()
+            qf = qf_mlp
+        else:
+            raise ValueError(f"from_store: unsupported model {model} "
+                             "(deit needs extras wiring via tools/bench_e2e)")
+        Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
+               "fused": MQ.FusedDeployCtx}[ctx]
+        payload = {"qflat": qflat, "scales": act_scales}
+
+        def fwd(p, x):
+            return qf(Ctx(p["qflat"], p["scales"], qcfg), x, cfg)
+
+        eng = Engine(fwd, payload, name=f"{model}_{ctx}", **kw)
+        eng.qcfg = qcfg
+        eng.model_cfg = cfg
+        return eng
+
     # ---------------- execution ----------------
 
     def warmup(self, input_shape) -> "Engine":

@@ -59,7 +59,7 @@ def _pick_tiles(N: int, OH: int, OW: int, C: int, OC: int):
 
 
 def _conv_kernel(xp_hbm, w_ref, scale_ref, bias_ref, o_ref, xs, acc_ref, sem,
-                 *, TB, TOH, OW, C, TOC, fuse_relu):
+                 *, TB, TOH, OW, C, TOC, fuse_relu, flat_dot):
     n = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -72,22 +72,41 @@ def _conv_kernel(xp_hbm, w_ref, scale_ref, bias_ref, o_ref, xs, acc_ref, sem,
     dma.start()
     dma.wait()
 
-    rows = TB * TOH * OW
     slab = xs[:]  # [TB, TOH+2, OW+2, C] int8
-    acc = jnp.zeros((rows, TOC), jnp.int32)
-    for kh in range(3):
-        for kw in range(3):
-            a = slab[:, kh : kh + TOH, kw : kw + OW, :].reshape(rows, C)
-            acc += jax.lax.dot(a, w_ref[kh * 3 + kw], preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
-    if fuse_relu:
-        y = jnp.maximum(y, 0.0)
-    o_ref[:] = y.reshape(TB, TOH, OW, TOC)
+    if flat_dot:
+        # 2D dots over reshaped shifted views (needs Mosaic relayout of the
+        # strided slices; fastest when it compiles)
+        rows = TB * TOH * OW
+        acc = jnp.zeros((rows, TOC), jnp.int32)
+        for kh in range(3):
+            for kw in range(3):
+                a = slab[:, kh : kh + TOH, kw : kw + OW, :].reshape(rows, C)
+                acc += jax.lax.dot(a, w_ref[kh * 3 + kw], preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y.reshape(TB, TOH, OW, TOC)
+    else:
+        # reshape-free: 4D dot_general contracting the channel dim; the
+        # output block keeps its natural [TB, TOH, OW, TOC] layout
+        acc = jnp.zeros((TB, TOH, OW, TOC), jnp.int32)
+        for kh in range(3):
+            for kw in range(3):
+                a = slab[:, kh : kh + TOH, kw : kw + OW, :]
+                acc += jax.lax.dot_general(
+                    a, w_ref[kh * 3 + kw],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y
     del acc_ref  # accumulation fits in registers for 9 taps; scratch unused
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fuse_relu", "interpret", "tiles")
+    jax.jit, static_argnames=("fuse_relu", "interpret", "tiles", "flat_dot", "input_hbm")
 )
 def int8_conv3x3_s1(
     x: jnp.ndarray,  # [N, H, W, C] int8 (UNpadded)
@@ -97,6 +116,9 @@ def int8_conv3x3_s1(
     fuse_relu: bool = False,
     interpret: bool | None = None,
     tiles=None,  # optional explicit (TB, TOH, TOC)
+    flat_dot: bool = True,  # 2D-reshape dots vs reshape-free 4D dot_general
+    input_hbm: bool = True,  # pin the padded input to HBM (ANY may pick VMEM
+                             # and blow the budget for mid-size activations)
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -116,11 +138,12 @@ def int8_conv3x3_s1(
     grid = (N // TB, OH // TOH, OC // TOC)
     return pl.pallas_call(
         functools.partial(
-            _conv_kernel, TB=TB, TOH=TOH, OW=OW, C=C, TOC=TOC, fuse_relu=fuse_relu
+            _conv_kernel, TB=TB, TOH=TOH, OW=OW, C=C, TOC=TOC,
+            fuse_relu=fuse_relu, flat_dot=flat_dot,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input, manual DMA
+            pl.BlockSpec(memory_space=pltpu.HBM if input_hbm else pltpu.ANY),
             pl.BlockSpec((9, C, TOC), lambda n, t, j: (0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TOC), lambda n, t, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TOC), lambda n, t, j: (0, j), memory_space=pltpu.VMEM),

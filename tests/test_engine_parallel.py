@@ -100,3 +100,32 @@ def test_mesh_shapes():
     assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
     with pytest.raises(ValueError, match="devices"):
         make_mesh(MeshConfig(data=3, model=3))
+
+
+def test_engine_from_store(setup, tmp_path):
+    """Cold-start from a quantized manifest matches the live-quantized engine."""
+    from dlq_tpu.quant.store import save_quantized
+
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    ref = np.asarray(eng1(x))
+    save_quantized(str(tmp_path / "store"), "resnet18", eng1.qflat,
+                   eng1.act_scales, INT8_PER_CHANNEL,
+                   meta={"config": {"num_classes": 16, "small_input": True}})
+    eng2 = Engine.from_store(str(tmp_path / "store"), batch=8)
+    out = np.asarray(eng2(x))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_engine_from_store_fused_ctx(setup, tmp_path):
+    from dlq_tpu.quant.store import save_quantized
+
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    save_quantized(str(tmp_path / "store2"), "resnet18", eng1.qflat,
+                   eng1.act_scales, INT8_PER_CHANNEL,
+                   meta={"config": {"num_classes": 16, "small_input": True}})
+    eng3 = Engine.from_store(str(tmp_path / "store2"), ctx="fused", batch=8)
+    np.testing.assert_array_equal(np.asarray(eng3(x)), np.asarray(eng1(x)))
