@@ -126,7 +126,10 @@ def int8_conv3x3_s1(
     kh, kw, C2, OC = w.shape
     assert (kh, kw) == (3, 3) and C2 == C, (w.shape, x.shape)
     OH, OW = H, W_
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # cheap int8 pad in XLA
+    # pad the slab's W dim (scratch second-to-minor) up to a sublane multiple
+    # of 8 — non-multiple widths crash the Mosaic DMA/tiling path
+    WP = -(-(OW + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, WP - OW - 1), (0, 0)))
     TB, TOH, TOC = tiles if tiles is not None else _pick_tiles(N, OH, OW, C, OC)
     assert N % TB == 0 and OH % TOH == 0 and OC % TOC == 0, (N, OH, OC, TB, TOH, TOC)
     if bias is None:
@@ -153,7 +156,7 @@ def int8_conv3x3_s1(
         ),
         out_shape=jax.ShapeDtypeStruct((N, OH, OW, OC), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TB, TOH + 2, OW + 2, C), jnp.int8),
+            pltpu.VMEM((TB, TOH + 2, WP, C), jnp.int8),
             pltpu.VMEM((8, 128), jnp.int32),  # placeholder scratch
             pltpu.SemaphoreType.DMA(()),
         ],

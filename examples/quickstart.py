@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""dlq_tpu quickstart: train -> quantize -> deploy -> serve, end to end.
+
+Runs on CPU (DLQ_PLATFORM=cpu python examples/quickstart.py) or TPU.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dlq_tpu.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlq_tpu import numerics
+from dlq_tpu.engine import Engine
+from dlq_tpu.models.resnet import (
+    ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward, resnet_forward,
+)
+from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+from dlq_tpu.quant.store import save_quantized
+from dlq_tpu.serving import InferenceServer
+
+# 1. a model (random weights here; load_params for a real store)
+cfg = ResNetConfig(depth=18, num_classes=10, small_input=True)
+params = init_resnet(jax.random.PRNGKey(0), cfg)
+flat = flatten_folded(fold_resnet(params, cfg))
+
+# 2. PTQ to W8A8 with one calibration batch
+rng = np.random.default_rng(0)
+calib = [jnp.asarray(rng.normal(0, 1, (16, 32, 32, 3)), jnp.float32)]
+engine = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                          calib_batches=calib, batch=16)
+
+# 3. accuracy check vs fp32
+x = rng.normal(0, 1, (16, 32, 32, 3)).astype(np.float32)
+fp32 = np.asarray(resnet_forward(params, jnp.asarray(x), cfg))
+int8 = np.asarray(engine(x))
+print("top-1 agreement:", numerics.top1_agreement(int8, fp32),
+      "cosine:", round(numerics.diff(int8, fp32).cosine, 5))
+
+# 4. persist the deployable artifact + cold-start a fresh engine from it
+store = os.path.join(tempfile.mkdtemp(), "r18_int8")
+save_quantized(store, "resnet18", engine.qflat, engine.act_scales, INT8_PER_CHANNEL,
+               meta={"config": {"num_classes": 10, "small_input": True}})
+engine2 = Engine.from_store(store, batch=16)
+assert np.array_equal(np.asarray(engine2(x)), int8)
+print("cold-start from store: bit-exact")
+
+# 5. serve
+srv = InferenceServer(engine2, max_wait_ms=5.0).start()
+pred = srv.infer(x[0])
+srv.stop()
+print("served one request -> class", int(np.argmax(pred)))
