@@ -9,7 +9,7 @@ vectorizes over batches. `to_bin` keeps the raw-fp32-file interchange.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

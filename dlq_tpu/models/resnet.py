@@ -14,7 +14,7 @@ replacing the reference's ``--dump_dir`` stage-bisection workflow
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from dlq_tpu.quant.quantize import QTensor, quantize_act, unpack_int4
+from dlq_tpu.quant.quantize import QTensor, quantize_act
 
 
 def _int4_kernel_ok(qw) -> bool:
