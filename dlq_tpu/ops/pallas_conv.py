@@ -127,9 +127,15 @@ def int8_conv3x3_s1(
     assert (kh, kw) == (3, 3) and C2 == C, (w.shape, x.shape)
     OH, OW = H, W_
     # pad the slab's W dim (scratch second-to-minor) up to a sublane multiple
-    # of 8 — non-multiple widths crash the Mosaic DMA/tiling path
+    # of 8, and the channel (lane) dim up to 128 — non-conforming shapes
+    # crash the Mosaic DMA/tiling path (found empirically; the compile
+    # helper dies without an error message)
     WP = -(-(OW + 2) // 8) * 8
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, WP - OW - 1), (0, 0)))
+    CP = max(C, 128) if C < 128 else C
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, WP - OW - 1), (0, CP - C)))
+    if CP != C:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, CP - C), (0, 0)))
+    C = CP
     TB, TOH, TOC = tiles if tiles is not None else _pick_tiles(N, OH, OW, C, OC)
     assert N % TB == 0 and OH % TOH == 0 and OC % TOC == 0, (N, OH, OC, TB, TOH, TOC)
     if bias is None:

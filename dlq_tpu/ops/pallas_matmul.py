@@ -145,7 +145,7 @@ def int4_shapes_ok(K: int, N: int, group: int, tn: int = 256, tk: int = 512) -> 
 # W4A16 fused dequant matmul (weight-only int4, group-wise scales)
 # ---------------------------------------------------------------------------
 
-def _int4_mm_kernel(x_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
+def _int4_mm_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
                     *, n_k, tk, group, fuse_relu):
     k = pl.program_id(2)
 
@@ -153,27 +153,34 @@ def _int4_mm_kernel(x_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # unpack nibbles in-register: wp [tk//2, tn] uint8 -> [tk, tn] int32.
-    # Mosaic can't legalize sub-word (i8) shifts on TPU vectors, so widen to
-    # i32 first — the widen/shift/mask all stay register-resident.
+    # Packed byte r holds logical K-rows 2r (low nibble) and 2r+1 (high).
+    # Instead of physically interleaving (a [tk/2, 2, tn] intermediate whose
+    # sublane dim of 2 Mosaic cannot tile), split the contraction:
+    #   sum_k x[k] w[k] = x_even @ w_lo + x_odd @ w_hi
+    # where x_even/x_odd are the de-interleaved activation columns (done once
+    # outside the kernel). Widen to i32 for the shifts (no sub-word vector
+    # shift on TPU), sign-extend, dequant in-register.
     wp = wp_ref[:].astype(jnp.int32)
     lo = wp & 0xF
     hi = (wp >> 4) & 0xF
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
-    # packed layout: byte r holds logical rows 2r (lo) and 2r+1 (hi)
-    w = jnp.stack([lo, hi], axis=1).reshape(tk, wp.shape[-1])
-    # group-wise dequant. scale_ref carries ALL K//group rows (a tk//group
-    # slice would violate the TPU min-sublane constraint); slice this k-step's
-    # groups, then element-repeat each group row `group` times (NOT
-    # pltpu.repeat, which tiles the whole block).
+    # group-wise scales: rows r of lo/hi belong to group (2r)//group; with
+    # group even this is r // (group//2) — element-repeat each group row
+    # group//2 times over the [tk//2, tn] nibble matrices
     ng = tk // group
     s = scale_ref[pl.ds(k * ng, ng), :]
     tn_ = s.shape[-1]
-    scales = jnp.broadcast_to(s[:, None, :], (ng, group, tn_)).reshape(tk, tn_)
-    wf = w.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
+    half = group // 2
+    scales_h = jnp.broadcast_to(s[:, None, :], (ng, half, tn_)).reshape(tk // 2, tn_)
+    sh = scales_h.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot(
-        x_ref[:].astype(jnp.bfloat16), wf, preferred_element_type=jnp.float32
+        xe_ref[:].astype(jnp.bfloat16), lo.astype(jnp.bfloat16) * sh,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += jax.lax.dot(
+        xo_ref[:].astype(jnp.bfloat16), hi.astype(jnp.bfloat16) * sh,
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == n_k - 1)
@@ -212,17 +219,24 @@ def int4_matmul(
         tk = group
     assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
     assert K % group == 0 and scales.shape == (K // group, N), scales.shape
+    assert group % 2 == 0, group
     n_k = K // tk
     if bias is None:
         bias = jnp.zeros((N,), jnp.float32)
     bias2 = bias.astype(jnp.float32).reshape(1, N)
+    # de-interleave activation columns once (matches the nibble packing):
+    # x_even pairs with low nibbles (rows 2r), x_odd with high (rows 2r+1)
+    x3 = x.reshape(M, Kh, 2)
+    xe = x3[:, :, 0]
+    xo = x3[:, :, 1]
 
     grid = (M // tm, N // tn, n_k)
     return pl.pallas_call(
         functools.partial(_int4_mm_kernel, n_k=n_k, tk=tk, group=group, fuse_relu=fuse_relu),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 2, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((K // group, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
@@ -239,4 +253,4 @@ def int4_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_packed, scales, bias2)
+    )(xe, xo, w_packed, scales, bias2)
