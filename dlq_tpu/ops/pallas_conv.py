@@ -11,6 +11,15 @@ Covers the stride-1 3x3 body convs that carry most ResNet FLOPs; 1x1 convs
 are plain matmuls (`pallas_matmul.int8_matmul`), strided/7x7 stem stays on
 XLA's conv.
 
+STATUS (v5e, measured): bit-exact vs XLA's int8 conv at model level, but
+NOT yet faster — the per-program halo DMA is issued and awaited serially
+(no double buffering), so the kernel reaches 19-40% of int8 peak vs XLA
+conv's fused pipeline. XLA conv remains the production deploy path
+(DeployCtx); this kernel is the foundation for a double-buffered /
+prefetching variant. Known Mosaic constraints worked around here: slab W
+(second-to-minor) must be a multiple of 8, channel (lane) dim >= 128, no
+intermediates with tiny sublane dims.
+
 Grid: (N / TB, OH / TOH, OC / TOC); halo windows overlap in H, which
 BlockSpec index maps cannot express, so the input stays in HBM/ANY and the
 kernel issues its own async copy per program (double-buffering left to the
