@@ -44,16 +44,16 @@ def _pick_tiles(N: int, OH: int, OW: int, C: int, OC: int):
         return tb * (toh + 2) * (OW + 2) * C
 
     TB, TOH = 1, OH
-    # grow TOH down / TB up for small spatial dims
-    if OH * OW >= 512:
-        # tile H so rows ~1024
-        TOH = max(1, min(OH, 1024 // OW))
+    # grow TOH down / TB up for small spatial dims; target ~2-3k GEMM rows
+    # per program to amortize the per-program overhead (VMEM has headroom)
+    target_rows = 2048
+    if OH * OW >= target_rows:
+        TOH = max(1, min(OH, target_rows // OW))
         while OH % TOH != 0:
             TOH -= 1
         TB = 1
     else:
-        # batch images into M
-        TB = max(1, 1024 // (OH * OW))
+        TB = max(1, target_rows // (OH * OW))
         while N % TB != 0:
             TB -= 1
         TOH = OH
@@ -71,17 +71,39 @@ def _conv_kernel(xp_hbm, w_ref, scale_ref, bias_ref, o_ref, xs, acc_ref, sem,
                  *, TB, TOH, OW, C, TOC, fuse_relu, flat_dot):
     n = pl.program_id(0)
     t = pl.program_id(1)
+    j = pl.program_id(2)
+    n_t = pl.num_programs(1)
+    n_j = pl.num_programs(2)
+    # linear (n, t) index; programs execute sequentially in grid order with
+    # j innermost, so the slab for (n, t) serves all j steps and the NEXT
+    # (n, t) slab can prefetch into the alternate slot during compute
+    nt = n * n_t + t
+    n_nt = pl.num_programs(0) * n_t
+    slot = jax.lax.rem(nt, 2)
+    next_slot = jax.lax.rem(nt + 1, 2)
 
-    # DMA the haloed slab for (image-block n, row-block t): all W, all C
-    dma = pltpu.make_async_copy(
-        xp_hbm.at[pl.ds(n * TB, TB), pl.ds(t * TOH, TOH + 2), :, :],
-        xs,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    def slab_dma(nt_idx, slot_idx):
+        nn = nt_idx // n_t
+        tt = jax.lax.rem(nt_idx, n_t)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(nn * TB, TB), pl.ds(tt * TOH, TOH + 2), :, :],
+            xs.at[slot_idx],
+            sem.at[slot_idx],
+        )
 
-    slab = xs[:]  # [TB, TOH+2, OW+2, C] int8
+    @pl.when(jnp.logical_and(nt == 0, j == 0))
+    def _():  # cold start: fetch the first slab
+        slab_dma(0, 0).start()
+
+    @pl.when(jnp.logical_and(j == 0, nt + 1 < n_nt))
+    def _():  # prefetch the next (n, t) slab while this block computes
+        slab_dma(nt + 1, next_slot).start()
+
+    @pl.when(j == 0)
+    def _():  # first j-step of this (n, t): ensure our slab has landed
+        slab_dma(nt, slot).wait()
+
+    slab = xs[slot]  # [TB, TOH+2, OW+2, C] int8
     if flat_dot:
         # 2D dots over reshaped shifted views (needs Mosaic relayout of the
         # strided slices; fastest when it compiles)
@@ -171,9 +193,9 @@ def int8_conv3x3_s1(
         ),
         out_shape=jax.ShapeDtypeStruct((N, OH, OW, OC), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TB, TOH + 2, WP, C), jnp.int8),
+            pltpu.VMEM((2, TB, TOH + 2, WP, C), jnp.int8),  # double-buffered slabs
             pltpu.VMEM((8, 128), jnp.int32),  # placeholder scratch
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),  # per-slot completion semaphores
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
