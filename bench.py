@@ -51,6 +51,21 @@ def main():
     r_fp32 = device_time_fn(fp32_fwd, eng_fp32.params, jnp.asarray(x), perturb_arg=1,
                             n_small=2, n_big=2 + iters)
 
+    # bf16 engine (the strongest non-quantized baseline on MXU)
+    import jax.tree_util as jtu
+
+    flat_bf16 = jtu.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        flat,
+    )
+
+    def bf16_fwd(p, xb):
+        return qforward(ObserveCtx(p), xb.astype(jnp.bfloat16), cfg).astype(jnp.float32)
+
+    r_bf16 = device_time_fn(bf16_fwd, flat_bf16, jnp.asarray(x), perturb_arg=1,
+                            n_small=2, n_big=2 + iters)
+
     # int8 engine
     eng_int8 = Engine.quantized(
         qforward, flat, cfg, INT8_PER_CHANNEL, calib_batches=calib,
@@ -78,6 +93,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(ips_int8 / ips_fp32, 3),
         "fp32_images_per_sec": round(ips_fp32, 2),
+        "bf16_images_per_sec": round(batch / (r_bf16["ms_median"] / 1e3), 2),
         "int8_ms_per_batch": round(r_int8["ms_median"], 3),
         "fp32_ms_per_batch": round(r_fp32["ms_median"], 3),
         "batch": batch,
