@@ -115,9 +115,13 @@ def fold_bn(w: jnp.ndarray, bias: Optional[jnp.ndarray], bn: Params, eps: float 
 
 def maxpool2d(x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
     """NHWC maxpool; semantics of kernels/maxpool2d.cu (3x3/s2/p1) generalized."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.array(-jnp.inf, x.dtype)
+    else:
+        init = jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
         (1, window, window, 1),
         (1, stride, stride, 1),

@@ -281,6 +281,49 @@ def qforward_fused(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
     return logits
 
 
+def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
+    """FULLY-int8 interchange topology (use with FullFusedCtx): stem,
+    maxpool, every block tensor, and the residual junctions are int8; the
+    only fp32 tensors are the input, the pooled feature vector, and logits.
+    Residual adds use TFLite-style shared-scale int arithmetic (small,
+    measured accuracy delta vs DeployCtx)."""
+    t: Dict[str, jnp.ndarray] = {}
+    nb = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[cfg.depth]
+    first = "layer1.0.conv1"
+    if cfg.small_input:
+        y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True, out_site=first)
+    else:
+        y = ctx.conv("stem", x, stride=2, padding=3, fuse_relu=True, out_site=first)
+        y = ctx.maxpool(y, 3, 2, 1)
+    if taps:
+        t["stem"] = y.q.astype(jnp.float32) * y.scale
+    for s in range(4):
+        for b in range(nb[s]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            site = f"layer{s+1}.{b}"
+            # the junction scale: next consumer's calibrated input scale
+            if b + 1 < nb[s]:
+                nxt = f"layer{s+1}.{b+1}.conv1"
+            elif s < 3:
+                nxt = f"layer{s+2}.0.conv1"
+            else:
+                nxt = "fc"
+            z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1,
+                         fuse_relu=True, out_site=f"{site}.conv2")
+            z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1, out_site=nxt)
+            down = f"{site}.down"
+            sc = (ctx.conv(down, y, stride=stride, padding=0, out_site=nxt)
+                  if ctx.has(down) else ctx.requant(y, nxt))
+            y = ctx.add_relu(z, sc)
+        if taps:
+            t[f"layer{s+1}"] = y.q.astype(jnp.float32) * y.scale
+    logits = ctx.gap_dense("fc", y)
+    if taps:
+        t["logits"] = logits
+        return logits, t
+    return logits
+
+
 @register("resnet18")
 def _build_resnet18(**kw):
     cfg = ResNetConfig(depth=18, **kw)
