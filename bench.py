@@ -71,8 +71,15 @@ def main():
         qforward, flat, cfg, INT8_PER_CHANNEL, calib_batches=calib,
         batch=batch, name="resnet18_int8",
     )
+    # headline: the fully-int8-interchange deploy path (FullFusedCtx) —
+    # int8 tensors between every op, TFLite-style int residual adds
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import DeployCtx, FullFusedCtx
+
     def int8_fwd(p, xb):
-        from dlq_tpu.quant.model_quant import DeployCtx
+        return qforward_fused2(FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL), xb, cfg)
+
+    def int8_deploy_fwd(p, xb):
         return qforward(DeployCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL), xb, cfg)
 
     r_int8 = device_time_fn(int8_fwd, eng_int8.params, jnp.asarray(x), perturb_arg=1,
@@ -81,9 +88,9 @@ def main():
     ips_int8 = batch / (r_int8["ms_median"] / 1e3)
     ips_fp32 = batch / (r_fp32["ms_median"] / 1e3)
 
-    # accuracy: top-1 agreement int8 vs fp32 on the bench batch
+    # accuracy: top-1 agreement int8 (fused path) vs fp32 on the bench batch
     logits_fp32 = np.asarray(eng_fp32(x))
-    logits_int8 = np.asarray(eng_int8(x))
+    logits_int8 = np.asarray(jax.jit(int8_fwd)(eng_int8.params, jnp.asarray(x)))
     agree = numerics.top1_agreement(logits_int8, logits_fp32)
     cos = numerics.diff(logits_int8, logits_fp32).cosine
 

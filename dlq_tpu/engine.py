@@ -125,7 +125,8 @@ class Engine:
     def from_store(qmanifest: str, ctx: str = "deploy", **kw) -> "Engine":
         """Cold-start an engine from a deployed quantized store — no torch,
         no calibration data, no fp32 weights (the artifact contract of
-        quant/store.py). ctx: "deploy" | "pallas" | "fused".
+        quant/store.py). ctx: "deploy" | "pallas" | "fused" | "fused2"
+        (fused2 = fully-int8 interchange, the fastest measured path).
         """
         from dlq_tpu.manifest import Manifest
         from dlq_tpu.quant import model_quant as MQ
@@ -136,14 +137,16 @@ class Engine:
         mcfg = man.meta.get("config", {})
         model = man.model
         if model.startswith("resnet"):
-            from dlq_tpu.models.resnet import ResNetConfig, qforward, qforward_fused
+            from dlq_tpu.models.resnet import (
+                ResNetConfig, qforward, qforward_fused, qforward_fused2,
+            )
 
             cfg = ResNetConfig(
                 depth=int(model[6:]),
                 num_classes=mcfg.get("num_classes", 1000),
                 small_input=bool(mcfg.get("small_input", False)),
             )
-            qf = qforward_fused if ctx == "fused" else qforward
+            qf = {"fused": qforward_fused, "fused2": qforward_fused2}.get(ctx, qforward)
         elif model == "mobilenetv2":
             from dlq_tpu.models.mobilenetv2 import MobileNetV2Config, block_meta, make_qforward
 
@@ -161,7 +164,7 @@ class Engine:
             raise ValueError(f"from_store: unsupported model {model} "
                              "(deit needs extras wiring via tools/bench_e2e)")
         Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
-               "fused": MQ.FusedDeployCtx}[ctx]
+               "fused": MQ.FusedDeployCtx, "fused2": MQ.FullFusedCtx}[ctx]
         payload = {"qflat": qflat, "scales": act_scales}
 
         def fwd(p, x):
