@@ -281,7 +281,8 @@ def qforward_fused(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
     return logits
 
 
-def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
+def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
+                    s2d_stem: bool = True):
     """FULLY-int8 interchange topology (use with FullFusedCtx): stem,
     maxpool, every block tensor, and the residual junctions are int8; the
     only fp32 tensors are the input, the pooled feature vector, and logits.
@@ -293,7 +294,10 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
     if cfg.small_input:
         y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True, out_site=first)
     else:
-        y = ctx.conv("stem", x, stride=2, padding=3, fuse_relu=True, out_site=first)
+        if s2d_stem and x.shape[1] % 2 == 0:
+            y = ctx.conv_stem_s2d("stem", x, out_site=first)
+        else:
+            y = ctx.conv("stem", x, stride=2, padding=3, fuse_relu=True, out_site=first)
         y = ctx.maxpool(y, 3, 2, 1)
     if taps:
         t["stem"] = y.q.astype(jnp.float32) * y.scale

@@ -317,6 +317,44 @@ class FullFusedCtx(FusedDeployCtx):
 
         return QAct(maxpool2d(x.q, window, stride, padding), x.scale)
 
+    def conv_stem_s2d(self, name: str, x: jnp.ndarray, *, out_site: str) -> QAct:
+        """The 7x7/s2/p3 stem as an EXACT space-to-depth rewrite: quantize
+        the input, s2d(2) it (int8, so the relayout moves 4x fewer bytes
+        than fp32), and run a 4x4 stride-1 VALID conv whose kernel is the
+        zero-padded 8x8 rearrangement of the quantized 7x7 weights. Same
+        int32 accumulation as ctx.conv on the original stem — identical
+        results, better MXU utilization (K: 147 -> 192, aligned taps)."""
+        import jax as _j
+
+        p = self.qflat[name]
+        qw: QTensor = p["qw"]
+        s_in = self.act_scales[name]
+        qmax = self.qcfg.acts.qmax
+        N, H, W, Cin = x.shape
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+        xq = quantize_act(x, s_in, qmax)
+        # pad 4 before / 2 after: out[i,j] = sum_u xp[2i+u, ...] w8[u], u<8
+        xp4 = jnp.pad(xq, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        h2, w2 = (H + 6) // 2, (W + 6) // 2
+        s2 = xp4.reshape(N, h2, 2, w2, 2, Cin).transpose(0, 1, 3, 2, 4, 5)
+        s2 = s2.reshape(N, h2, w2, 4 * Cin)
+        w7 = qw.values.reshape(qw.layout_shape)  # [7,7,Cin,OC] int8
+        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        OC = w7.shape[-1]
+        w4 = w8.reshape(4, 2, 4, 2, Cin, OC).transpose(0, 2, 1, 3, 4, 5)
+        w4 = w4.reshape(4, 4, 4 * Cin, OC)
+        acc = _j.lax.conv_general_dilated(
+            s2, w4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (s_in * qw.scale)
+        if p.get("b") is not None:
+            y = y + p["b"]
+        s_out = self.act_scales[out_site]
+        q = jnp.clip(jnp.round(y / s_out), 0.0, qmax).astype(jnp.int8)  # relu folded
+        return QAct(q, s_out)
+
     def gap_dense(self, name: str, x: QAct) -> jnp.ndarray:
         """int32 global-average pool + quantized fc on the pooled vector."""
         acc = jnp.sum(x.q.astype(jnp.int32), axis=(1, 2))
