@@ -159,3 +159,36 @@ def test_fused_ctx_taps(setup):
     assert set(taps) >= {"stem", "layer1", "layer4", "logits"}
     # taps are fp32 (block-boundary interchange), comparable to fp32 taps
     assert all(np.asarray(v).dtype == np.float32 for v in taps.values())
+
+
+def test_full_fused_ctx_imagenet_shape(setup):
+    """FullFusedCtx (fully-int8 interchange, TFLite-style int adds) tracks
+    DeployCtx closely and keeps top-1; s2d stem is bit-exact vs plain."""
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+
+    cfg = ResNetConfig(depth=18, num_classes=16)
+    params = init_resnet(jax.random.PRNGKey(3), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    dep = np.asarray(qforward(DeployCtx(qflat, scales, qcfg), x, cfg))
+    f_plain = np.asarray(qforward_fused2(FullFusedCtx(qflat, scales, qcfg), x, cfg, s2d_stem=False))
+    f_s2d = np.asarray(qforward_fused2(FullFusedCtx(qflat, scales, qcfg), x, cfg, s2d_stem=True))
+    np.testing.assert_array_equal(f_s2d, f_plain)  # s2d rewrite is exact
+    assert numerics.diff(f_plain, dep).cosine > 0.998
+    assert numerics.top1_agreement(f_plain, dep) == 1.0
+
+
+def test_full_fused_ctx_taps(setup):
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    _, taps = qforward_fused2(FullFusedCtx(qflat, scales, qcfg), x, cfg, taps=True)
+    assert set(taps) >= {"stem", "layer1", "layer4", "logits"}
