@@ -282,7 +282,7 @@ def qforward_fused(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
 
 
 def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
-                    s2d_stem: bool = True):
+                    s2d_stem: bool = False):
     """FULLY-int8 interchange topology (use with FullFusedCtx): stem,
     maxpool, every block tensor, and the residual junctions are int8; the
     only fp32 tensors are the input, the pooled feature vector, and logits.
