@@ -282,7 +282,7 @@ def qforward_fused(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
 
 
 def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
-                    s2d_stem: bool = False):
+                    s2d_stem: bool = False, stem_bf16: bool = True):
     """FULLY-int8 interchange topology (use with FullFusedCtx): stem,
     maxpool, every block tensor, and the residual junctions are int8; the
     only fp32 tensors are the input, the pooled feature vector, and logits.
@@ -294,7 +294,9 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
     if cfg.small_input:
         y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True, out_site=first)
     else:
-        if s2d_stem and x.shape[1] % 2 == 0:
+        if stem_bf16:
+            y = ctx.conv_stem_bf16("stem", x, out_site=first)
+        elif s2d_stem and x.shape[1] % 2 == 0:
             y = ctx.conv_stem_s2d("stem", x, out_site=first)
         else:
             y = ctx.conv("stem", x, stride=2, padding=3, fuse_relu=True, out_site=first)

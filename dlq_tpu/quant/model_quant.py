@@ -317,6 +317,28 @@ class FullFusedCtx(FusedDeployCtx):
 
         return QAct(maxpool2d(x.q, window, stride, padding), x.scale)
 
+    def conv_stem_bf16(self, name: str, x: jnp.ndarray, *, out_site: str,
+                       stride=2, padding=3) -> QAct:
+        """Mixed-precision stem: compute the C=3 input conv in bf16 (the
+        int8 conv path packs tiny input-channel counts onto the MXU at ~16%
+        utilization; the bf16 conv path runs it ~3x faster despite half the
+        nominal rate), then requantize to int8 in the epilogue. Weights are
+        the dequantized int8 values, so the only deviation from the int32
+        path is bf16 accumulation noise — far below the int8 output
+        quantization step."""
+        p = self.qflat[name]
+        qw: QTensor = p["qw"]
+        w = _deq_weight(p).astype(jnp.bfloat16)
+        y = conv2d(x.astype(jnp.bfloat16), w, stride=stride, padding=padding,
+                   preferred=jnp.float32)
+        y = y.astype(jnp.float32)
+        if p.get("b") is not None:
+            y = y + p["b"]
+        qmax = self.qcfg.acts.qmax
+        s_out = self.act_scales[out_site]
+        q = jnp.clip(jnp.round(y / s_out), 0.0, qmax).astype(jnp.int8)  # relu folded
+        return QAct(q, s_out)
+
     def conv_stem_s2d(self, name: str, x: jnp.ndarray, *, out_site: str) -> QAct:
         """The 7x7/s2/p3 stem as an EXACT space-to-depth rewrite: quantize
         the input, s2d(2) it (int8, so the relayout moves 4x fewer bytes
