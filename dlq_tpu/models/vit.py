@@ -158,10 +158,17 @@ def vit_extras(params: Params) -> Params:
     }
 
 
-def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int):
+def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int,
+                  interchange=jnp.bfloat16):
+    """ctx-based quantized forward. `interchange` is the inter-op dtype:
+    DeiT-Ti at dim 192 is elementwise-bound (LN/gelu/softmax/residuals), so
+    bf16 interchange halves the traffic that dominates its runtime; the
+    quantized matmuls are unaffected (they requantize their inputs)."""
+
     def qforward(ctx, x, cfg, taps: bool = False):
         t: Dict[str, jnp.ndarray] = {}
         B = x.shape[0]
+        x = x.astype(interchange)
         y = ctx.dense("patch", patchify(x, patch))
         cls = jnp.broadcast_to(extras["cls"].astype(y.dtype), (B, 1, dim))
         y = jnp.concatenate([cls, y], axis=1) + extras["pos"].astype(y.dtype)
@@ -179,7 +186,7 @@ def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int):
             if taps:
                 t[f"block{i}"] = y
         y = layernorm(y, extras["norm"])
-        logits = ctx.dense("head", y[:, 0])
+        logits = ctx.dense("head", y[:, 0]).astype(jnp.float32)
         if taps:
             t["logits"] = logits
             return logits, t
