@@ -61,6 +61,33 @@ def int8_dot_supported(platform: Optional[str] = None) -> bool:
         return False
 
 
+def _depthwise_int8_stencil(xq: jnp.ndarray, wq: jnp.ndarray, stride, pads) -> jnp.ndarray:
+    """Depthwise conv as an explicit shifted-multiply-add stencil in int32.
+
+    XLA's int8 grouped-conv lowering on the TPU backend miscompiles
+    non-deterministically when fused with quantize/rescale epilogues
+    (observed: NaN/zero outputs whose appearance depends on unrelated graph
+    consumers). Depthwise carries negligible FLOPs, so we lower it ourselves
+    to kh*kw widened elementwise multiply-adds over shifted slices — pure
+    VPU ops with no conv involved. Exact int32 accumulation.
+    """
+    kh, kw, _, C = wq.shape
+    N, H, W, C2 = xq.shape
+    assert C == C2, (wq.shape, xq.shape)
+    xp = jnp.pad(xq, ((0, 0), pads[0], pads[1], (0, 0)))
+    OH = (H + sum(pads[0]) - kh) // stride[0] + 1
+    OW = (W + sum(pads[1]) - kw) // stride[1] + 1
+    acc = jnp.zeros((N, OH, OW, C), jnp.int32)
+    x32 = xp.astype(jnp.int32)
+    w32 = wq.astype(jnp.int32)
+    for u in range(kh):
+        for v in range(kw):
+            sl = x32[:, u : u + (OH - 1) * stride[0] + 1 : stride[0],
+                     v : v + (OW - 1) * stride[1] + 1 : stride[1], :]
+            acc = acc + sl * w32[u, v, 0]
+    return acc
+
+
 def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int) -> jnp.ndarray:
     """int8 NHWC x HWIO conv -> int32 (or fp32-on-int-values fallback)."""
     if isinstance(stride, int):
@@ -68,6 +95,8 @@ def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int) -
     if isinstance(padding, int):
         padding = (padding, padding)
     pads = [(padding[0], padding[0]), (padding[1], padding[1])]
+    if groups > 1 and groups == wq.shape[-1] and wq.shape[2] == 1:
+        return _depthwise_int8_stencil(xq, wq, stride, pads)
     if int8_conv_supported(jax.default_backend()):
         return jax.lax.conv_general_dilated(
             xq, wq, stride, pads,
