@@ -195,6 +195,47 @@ def make_qforward(meta: List[Dict[str, Any]]):
     return qforward
 
 
+def make_qforward_fused(meta: List[Dict[str, Any]]):
+    """Fully-int8 interchange MobileNetV2 (use with FullFusedCtx): every
+    expand/dw/project tensor travels int8 with relu6 folded into the
+    requantizing epilogue; residual adds use shared-scale int arithmetic.
+    The consumer-scale chain: expand feeds dw, dw feeds project, project
+    feeds the next block's first conv (or head)."""
+
+    def next_site(i: int) -> str:
+        if i + 1 < len(meta):
+            return f"block{i+1}.expand" if meta[i + 1]["expand"] else f"block{i+1}.dw"
+        return "head"
+
+    def qforward(ctx, x, cfg, taps: bool = False):
+        t: Dict[str, jnp.ndarray] = {}
+        first = "block0.expand" if meta[0]["expand"] else "block0.dw"
+        y = ctx.conv("stem", x, stride=1 if cfg.small_input else 2, padding=1,
+                     fuse_relu6=True, out_site=first)
+        for i, m in enumerate(meta):
+            inp = y
+            nxt = next_site(i)
+            if m["expand"]:
+                y = ctx.conv(f"block{i}.expand", y, fuse_relu6=True,
+                             out_site=f"block{i}.dw")
+            y = ctx.conv(f"block{i}.dw", y, stride=m["stride"], padding=1,
+                         groups=m["hidden"], fuse_relu6=True,
+                         out_site=f"block{i}.project")
+            y = ctx.conv(f"block{i}.project", y, out_site=nxt)
+            if m["has_res"]:
+                y = ctx.add(y, ctx.requant(inp, nxt))
+            if taps:
+                t[f"block{i}"] = y.q.astype(jnp.float32) * y.scale
+        y = ctx.conv("head", y, fuse_relu6=True, out_site="fc")
+        logits = ctx.gap_dense("fc", y)
+        if taps:
+            t["logits"] = logits
+            return logits, t
+        return logits
+
+    return qforward
+
+
 @register("mobilenetv2")
 def _build_mnv2(**kw):
     cfg = MobileNetV2Config(**kw)

@@ -192,7 +192,7 @@ class FusedDeployCtx(DeployCtx):
         return QAct(quantize_act(y, s, self.qcfg.acts.qmax), s)
 
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False,
-             out_site: Optional[str] = None):
+             fuse_relu6=False, out_site: Optional[str] = None):
         from dlq_tpu.ops.qops import _conv_int8
 
         p = self.qflat[name]
@@ -206,13 +206,22 @@ class FusedDeployCtx(DeployCtx):
         y = acc.astype(jnp.float32) * combined
         if p.get("b") is not None:
             y = y + p["b"]
+        if fuse_relu6:
+            y = jnp.clip(y, 0.0, 6.0)
         if out_site is None:
             return jnp.maximum(y, 0.0) if fuse_relu else y
         s_out = self.act_scales[out_site]
         qmax = self.qcfg.acts.qmax
-        lo = 0.0 if fuse_relu else -float(qmax)
+        lo = 0.0 if (fuse_relu or fuse_relu6) else -float(qmax)
         q = jnp.clip(jnp.round(y / s_out), lo, qmax).astype(jnp.int8)
         return QAct(q, s_out)
+
+    def add(self, a: QAct, b: QAct) -> QAct:
+        """a + b in the int domain (no relu); both at the same scale."""
+        qmax = self.qcfg.acts.qmax
+        acc = a.q.astype(jnp.int32) + b.q.astype(jnp.int32)
+        q = jnp.clip(acc, -qmax, qmax).astype(jnp.int8)
+        return QAct(q, a.scale)
 
     def dense(self, name, x, *, fuse_relu=False):
         if isinstance(x, QAct):
