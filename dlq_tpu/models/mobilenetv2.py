@@ -197,6 +197,12 @@ def make_qforward(meta: List[Dict[str, Any]]):
 
 def make_qforward_fused(meta: List[Dict[str, Any]]):
     """Fully-int8 interchange MobileNetV2 (use with FullFusedCtx): every
+
+    STATUS: CPU-validated (cosine 0.998 vs DeployCtx); on the axon TPU
+    backend this path triggers the int8-epilogue miscompile family
+    (finite-but-wrong outputs) and measures slower than DeployCtx — use
+    DeployCtx for MobileNetV2 deployment on TPU (BENCH_NOTES.md).
+
     expand/dw/project tensor travels int8 with relu6 folded into the
     requantizing epilogue; residual adds use shared-scale int arithmetic.
     The consumer-scale chain: expand feeds dw, dw feeds project, project
