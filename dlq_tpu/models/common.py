@@ -130,9 +130,12 @@ def maxpool2d(x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1
 
 
 def avgpool2d(x: jnp.ndarray, window: int, stride: int, padding: int = 0) -> jnp.ndarray:
+    # init must be a python scalar, not a traced array — reduce_window's
+    # autodiff linearization fails on array init values
+    init = 0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0
     s = jax.lax.reduce_window(
         x,
-        jnp.array(0, x.dtype),
+        init,
         jax.lax.add,
         (1, window, window, 1),
         (1, stride, stride, 1),

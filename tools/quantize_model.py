@@ -128,7 +128,7 @@ def main():
                           meta={"source_manifest": os.path.abspath(args.manifest),
                                 "config": man.meta.get("config", {}),
                                 "calib": args.calib or "synthetic"})
-    fp32_bytes = sum(int(np.prod(p["w_shape"])) * 4 for p in qflat.values())
+    fp32_bytes = sum(int(np.prod(p["qw"].layout_shape)) * 4 for p in qflat.values())
     q_bytes = sum(p["qw"].nbytes for p in qflat.values())
     print(f"[OK] {args.scheme} ({args.method}) -> {path}  "
           f"weights {fp32_bytes/1e6:.1f} MB -> {q_bytes/1e6:.1f} MB "
