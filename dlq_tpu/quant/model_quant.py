@@ -244,6 +244,12 @@ class PallasDeployCtx(DeployCtx):
 
     Anything else (strided, 7x7 stem, depthwise) falls back to XLA's int8
     conv. Numerics identical to DeployCtx (same int32 accum + fp32 epilogue).
+
+    STATUS: kernels are bit-exact on TPU, but XLA's own int8 convs measure
+    93-95% of roofline on ResNet body shapes, so this ctx is currently
+    SLOWER than DeployCtx at model level (BENCH_NOTES.md) — it exists for
+    kernel development and for shapes where XLA's conv underperforms.
+    Production paths: FullFusedCtx (ResNet), DeployCtx (others).
     """
 
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
