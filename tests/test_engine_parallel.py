@@ -129,3 +129,25 @@ def test_engine_from_store_fused_ctx(setup, tmp_path):
                    meta={"config": {"num_classes": 16, "small_input": True}})
     eng3 = Engine.from_store(str(tmp_path / "store2"), ctx="fused", batch=8)
     np.testing.assert_array_equal(np.asarray(eng3(x)), np.asarray(eng1(x)))
+
+
+def test_tp_sharded_fused2_matches_single(setup):
+    """The production fully-int8 path under dp x tp sharding must match the
+    unsharded run bit-for-bit (per-OC scales shard with their channels)."""
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    payload = {"qflat": eng1.qflat, "scales": eng1.act_scales}
+
+    def fwd(p, xb):
+        return qforward_fused2(FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL),
+                               xb, cfg)
+
+    ref = np.asarray(jax.jit(fwd)(payload, jnp.asarray(x)))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    eng2 = Engine(fwd, payload, batch=8, mesh=mesh, tensor_parallel=True)
+    out = np.asarray(eng2(x))
+    numerics.check(out, ref, atol=1e-4, what="tp_fused2")
