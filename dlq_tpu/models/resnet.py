@@ -346,7 +346,7 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
     Residual adds use TFLite-style shared-scale int arithmetic (small,
     measured accuracy delta vs DeployCtx)."""
     t: Dict[str, jnp.ndarray] = {}
-    nb = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[cfg.depth]
+    nb = cfg.blocks_per_stage
     first = "layer1.0.conv1"
     if cfg.small_input:
         y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True, out_site=first)
@@ -371,9 +371,16 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
                 nxt = f"layer{s+2}.0.conv1"
             else:
                 nxt = "fc"
-            z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1,
-                         fuse_relu=True, out_site=f"{site}.conv2")
-            z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1, out_site=nxt)
+            if cfg.bottleneck:
+                z = ctx.conv(f"{site}.conv1", y, fuse_relu=True,
+                             out_site=f"{site}.conv2")
+                z = ctx.conv(f"{site}.conv2", z, stride=stride, padding=1,
+                             fuse_relu=True, out_site=f"{site}.conv3")
+                z = ctx.conv(f"{site}.conv3", z, out_site=nxt)
+            else:
+                z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1,
+                             fuse_relu=True, out_site=f"{site}.conv2")
+                z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1, out_site=nxt)
             down = f"{site}.down"
             sc = (ctx.conv(down, y, stride=stride, padding=0, out_site=nxt)
                   if ctx.has(down) else ctx.requant(y, nxt))
