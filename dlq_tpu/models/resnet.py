@@ -370,7 +370,12 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
             elif s < 3:
                 nxt = f"layer{s+2}.0.conv1"
             else:
-                nxt = "fc"
+                # the final junction has no conv consumer whose calibrated
+                # input scale covers the UNpooled activations (the fc site
+                # is calibrated on the gap output, whose amax is smaller —
+                # requantizing with it would clip); keep this one junction
+                # fp32 (a single 7x7 tensor, negligible traffic)
+                nxt = None
             if cfg.bottleneck:
                 z = ctx.conv(f"{site}.conv1", y, fuse_relu=True,
                              out_site=f"{site}.conv2")
@@ -382,12 +387,21 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
                              fuse_relu=True, out_site=f"{site}.conv2")
                 z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1, out_site=nxt)
             down = f"{site}.down"
-            sc = (ctx.conv(down, y, stride=stride, padding=0, out_site=nxt)
-                  if ctx.has(down) else ctx.requant(y, nxt))
-            y = ctx.add_relu(z, sc)
+            if nxt is None:
+                from dlq_tpu.quant.model_quant import QAct as _QAct
+
+                sc = (ctx.conv(down, y, stride=stride, padding=0)
+                      if ctx.has(down) else y.q.astype(jnp.float32) * y.scale)
+                y = relu(z + sc)
+            else:
+                sc = (ctx.conv(down, y, stride=stride, padding=0, out_site=nxt)
+                      if ctx.has(down) else ctx.requant(y, nxt))
+                y = ctx.add_relu(z, sc)
         if taps:
-            t[f"layer{s+1}"] = y.q.astype(jnp.float32) * y.scale
-    logits = ctx.gap_dense("fc", y)
+            t[f"layer{s+1}"] = (y.q.astype(jnp.float32) * y.scale
+                                 if hasattr(y, "q") else y)
+    logits = ctx.gap_dense("fc", y) if hasattr(y, "q") else ctx.dense(
+        "fc", global_avgpool(y))
     if taps:
         t["logits"] = logits
         return logits, t
