@@ -160,9 +160,24 @@ class Engine:
 
             cfg = MLPConfig()
             qf = qf_mlp
+        elif model == "deit_tiny":
+            from dlq_tpu.models.vit import ViTConfig, make_qforward as make_vit_qf
+            from dlq_tpu.quant.store import unflatten_extras
+
+            cfg = ViTConfig(**{k: mcfg[k] for k in
+                               ("num_classes", "image_size", "patch", "dim",
+                                "depth", "heads", "mlp_ratio") if k in mcfg})
+            ex = unflatten_extras(extras)
+            # fused Pallas attention on accelerators; interpret-mode Pallas on
+            # CPU is correct but slow, so keep the jnp path there
+            attn = "xla" if jax.default_backend() == "cpu" else "fused"
+            qf = make_vit_qf(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                             attn_impl=attn)
+            if ctx != "deploy":
+                raise ValueError("deit_tiny supports ctx='deploy' only "
+                                 "(fused int8-interchange ctxs are conv-model paths)")
         else:
-            raise ValueError(f"from_store: unsupported model {model} "
-                             "(deit needs extras wiring via tools/bench_e2e)")
+            raise ValueError(f"from_store: unsupported model {model}")
         Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
                "fused": MQ.FusedDeployCtx, "fused2": MQ.FullFusedCtx}[ctx]
         payload = {"qflat": qflat, "scales": act_scales}

@@ -37,6 +37,10 @@ class ViTConfig:
     num_classes: int = 1000
     in_channels: int = 3
     dtype: Any = jnp.float32
+    # "xla": jnp einsum attention (scores tensor materializes in HBM);
+    # "fused": Pallas fused-softmax attention (ops/pallas_attention.py) —
+    # the TPU deploy path; falls back to interpret mode on CPU.
+    attn_impl: str = "xla"
 
     @property
     def seq_len(self) -> int:
@@ -92,7 +96,10 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, patch * patch * C)
 
 
-def attention(q, k, v, heads: int):
+def attention(q, k, v, heads: int, impl: str = "xla"):
+    if impl == "fused":
+        from dlq_tpu.ops.pallas_attention import attention_fused
+        return attention_fused(q, k, v, heads)
     B, N, D = q.shape
     hd = D // heads
 
@@ -119,7 +126,7 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, taps: bool = Fal
         h = layernorm(y, lp["ln1"])
         qkv = dense(h, lp["qkv"]["w"], lp["qkv"]["b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = attention(q, k, v, cfg.heads)
+        a = attention(q, k, v, cfg.heads, impl=cfg.attn_impl)
         y = y + dense(a, lp["proj"]["w"], lp["proj"]["b"])
         h = layernorm(y, lp["ln2"])
         h = dense(h, lp["fc1"]["w"], lp["fc1"]["b"])
@@ -159,7 +166,7 @@ def vit_extras(params: Params) -> Params:
 
 
 def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int,
-                  interchange=jnp.bfloat16):
+                  interchange=jnp.bfloat16, attn_impl: str = "xla"):
     """ctx-based quantized forward. `interchange` is the inter-op dtype:
     DeiT-Ti at dim 192 is elementwise-bound (LN/gelu/softmax/residuals), so
     bf16 interchange halves the traffic that dominates its runtime; the
@@ -177,7 +184,7 @@ def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int,
             h = layernorm(y, ln["ln1"])
             qkv = ctx.dense(f"l{i}.qkv", h)
             q, k, v = jnp.split(qkv, 3, axis=-1)
-            a = attention(q, k, v, heads)
+            a = attention(q, k, v, heads, impl=attn_impl)
             y = y + ctx.dense(f"l{i}.proj", a)
             h = layernorm(y, ln["ln2"])
             h = ctx.dense(f"l{i}.fc1", h)

@@ -115,6 +115,28 @@ def load_quantized(root: str) -> Tuple[FlatParams, Dict[str, jnp.ndarray], QConf
     return qflat, act_scales, qcfg, extras
 
 
+def unflatten_extras(flat: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of _flatten_extras: dotted names -> nested dicts, with
+    all-numeric-key levels converted back to lists (e.g. per-layer LN
+    stacks). Enables Engine.from_store to rebuild model extras."""
+    root: Dict[str, Any] = {}
+    for name, v in flat.items():
+        parts = name.split(".")
+        cur = root
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+
+    def fix(d):
+        if isinstance(d, dict):
+            if d and all(k.isdigit() for k in d):
+                return [fix(d[str(i)]) for i in range(len(d))]
+            return {k: fix(v) for k, v in d.items()}
+        return d
+
+    return fix(root)
+
+
 def _flatten_extras(extras: Dict[str, Any], prefix: str = ""):
     for k, v in extras.items():
         name = f"{prefix}{k}"

@@ -1,0 +1,130 @@
+"""ViT/DeiT-Ti performance breakdown on TPU (NEXT.md perf item #1).
+
+Times the full forward under dtype x attention-impl variants, plus isolated
+component stacks (attention-only, LN-only, MLP-only) to locate the
+bottleneck. One JSON line per measurement.
+
+Usage: python tools/bench_vit_breakdown.py [--batch 256] [--variants all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--variants", default="all",
+                    help="comma list: fp32_xla,bf16_xla,bf16_fused,fp32_fused,"
+                         "attn_xla,attn_fused,ln_only,mlp_only")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from dlq_tpu.models.vit import (
+        ViTConfig, attention, init_vit, layernorm, vit_forward,
+    )
+    from dlq_tpu.ops.pallas_attention import attention_fused
+    from dlq_tpu.timing import device_time_fn
+
+    want = set(args.variants.split(",")) if args.variants != "all" else None
+
+    def sel(name):
+        return want is None or name in want
+
+    B = args.batch
+    cfg = ViTConfig()
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    params_bf16 = jtu.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (B, 224, 224, 3)), jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+
+    def emit(name, r, note=""):
+        print(json.dumps({
+            "variant": name, "ms": round(r["ms_median"], 3),
+            "img_per_s": round(B / (r["ms_median"] / 1e3), 1),
+            "batch": B, "note": note,
+        }), flush=True)
+
+    t0 = time.time()
+    fwd_cache = {}
+
+    def full(name, p, xx, impl):
+        c = ViTConfig(attn_impl=impl)
+
+        def f(pp, xi):
+            return vit_forward(pp, xi, c)
+
+        r = device_time_fn(f, p, xx, perturb_arg=1, n_small=2, n_big=2 + args.iters)
+        emit(name, r)
+        fwd_cache[name] = r
+
+    if sel("fp32_xla"):
+        full("fp32_xla", params, x, "xla")
+    if sel("bf16_xla"):
+        full("bf16_xla", params_bf16, xb, "xla")
+    if sel("bf16_fused"):
+        full("bf16_fused", params_bf16, xb, "fused")
+    if sel("fp32_fused"):
+        full("fp32_fused", params, x, "fused")
+
+    # ---- isolated component stacks (bf16, 12x like the real depth) ----
+    N, D, h = cfg.seq_len, cfg.dim, cfg.heads
+    y0 = jnp.asarray(rng.normal(0, 1, (B, N, D)), jnp.bfloat16)
+    lp = params_bf16["layers"][0]
+
+    if sel("attn_xla"):
+        def attn_stack_xla(w, y):
+            for _ in range(cfg.depth):
+                q = jnp.dot(y, w, preferred_element_type=jnp.float32).astype(y.dtype)
+                y = attention(q, y, y, h, impl="xla")
+            return y
+        r = device_time_fn(attn_stack_xla, lp["proj"]["w"], y0, perturb_arg=1,
+                           n_small=2, n_big=2 + args.iters)
+        emit("attn_xla_x12", r, "12x (1 dense + xla attention)")
+
+    if sel("attn_fused"):
+        def attn_stack_fused(w, y):
+            for _ in range(cfg.depth):
+                q = jnp.dot(y, w, preferred_element_type=jnp.float32).astype(y.dtype)
+                y = attention_fused(q, y, y, h)
+            return y
+        r = device_time_fn(attn_stack_fused, lp["proj"]["w"], y0, perturb_arg=1,
+                           n_small=2, n_big=2 + args.iters)
+        emit("attn_fused_x12", r, "12x (1 dense + fused attention)")
+
+    if sel("ln_only"):
+        def ln_stack(g, y):
+            for _ in range(2 * cfg.depth):
+                y = layernorm(y, {"g": g, "b": lp["ln1"]["b"]})
+            return y
+        r = device_time_fn(ln_stack, lp["ln1"]["g"], y0, perturb_arg=1,
+                           n_small=2, n_big=2 + args.iters)
+        emit("ln_x24", r, "24 layernorms")
+
+    if sel("mlp_only"):
+        def mlp_stack(w1, y):
+            for _ in range(cfg.depth):
+                hdn = jnp.dot(y, w1, preferred_element_type=jnp.float32).astype(y.dtype)
+                hdn = jax.nn.gelu(hdn, approximate=False)
+                y = y + jnp.dot(hdn, lp["fc2"]["w"], preferred_element_type=jnp.float32).astype(y.dtype)
+            return y
+        r = device_time_fn(mlp_stack, lp["fc1"]["w"], y0, perturb_arg=1,
+                           n_small=2, n_big=2 + args.iters)
+        emit("mlp_x12", r, "12x fc1+gelu+fc2+res")
+
+    print(json.dumps({"variant": "_done", "wall_s": round(time.time() - t0, 1),
+                      "device": str(jax.devices()[0])}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
