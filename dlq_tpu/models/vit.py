@@ -41,6 +41,11 @@ class ViTConfig:
     # "fused": Pallas fused-softmax attention (ops/pallas_attention.py) —
     # the TPU deploy path; falls back to interpret mode on CPU.
     attn_impl: str = "xla"
+    # fused residual+LayerNorm Pallas kernels (ops/pallas_layernorm.py):
+    # XLA lowers each pre-LN junction to ~4 HBM passes — 7.2 ms of the
+    # 22.7 ms b256 forward (tools/bench_vit_breakdown.py). The fused loop
+    # keeps the same math (taps land at identical block boundaries).
+    fused_ln: bool = False
 
     @property
     def seq_len(self) -> int:
@@ -114,31 +119,72 @@ def attention(q, k, v, heads: int, impl: str = "xla"):
     return out.transpose(0, 2, 1, 3).reshape(B, N, D)
 
 
-def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, taps: bool = False):
+def _encoder(y, get_ln, op, final_norm, depth: int, heads: int,
+             attn_impl: str, fused_ln: bool, taps: bool):
+    """Shared pre-LN encoder loop for the fp32 and quantized paths.
+
+    With fused_ln, each `y += delta; h = LN(y)` junction runs as ONE fused
+    Pallas pass (the MLP residual of layer i fuses into layer i+1's LN1, and
+    the final one into the output norm) — identical math, taps at the same
+    block boundaries.
+    """
+    from dlq_tpu.ops.pallas_layernorm import layernorm_fused, residual_layernorm
+
     t: Dict[str, jnp.ndarray] = {}
+    delta = None
+    for i in range(depth):
+        ln1, ln2 = get_ln(i)
+        if delta is None:
+            h = (layernorm_fused(y, ln1["g"], ln1["b"]) if fused_ln
+                 else layernorm(y, ln1))
+        elif fused_ln:
+            y, h = residual_layernorm(y, delta, ln1["g"], ln1["b"])
+            if taps:
+                t[f"block{i-1}"] = y
+        else:
+            y = y + delta
+            if taps:
+                t[f"block{i-1}"] = y
+            h = layernorm(y, ln1)
+        qkv = op(i, "qkv", h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = attention(q, k, v, heads, impl=attn_impl)
+        a = op(i, "proj", a)
+        if fused_ln:
+            y, h2 = residual_layernorm(y, a, ln2["g"], ln2["b"])
+        else:
+            y = y + a
+            h2 = layernorm(y, ln2)
+        m = op(i, "fc1", h2)
+        m = jax.nn.gelu(m, approximate=False)
+        delta = op(i, "fc2", m)
+    if fused_ln:
+        y, hf = residual_layernorm(y, delta, final_norm["g"], final_norm["b"])
+    else:
+        y = y + delta
+        hf = layernorm(y, final_norm)
+    if taps:
+        t[f"block{depth-1}"] = y
+    return hf, t
+
+
+def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, taps: bool = False):
     B = x.shape[0]
     y = dense(patchify(x, cfg.patch), params["patch"]["w"], params["patch"]["b"])
     cls = jnp.broadcast_to(params["cls"].astype(y.dtype), (B, 1, cfg.dim))
     y = jnp.concatenate([cls, y], axis=1) + params["pos"].astype(y.dtype)
+    t0 = {"embed": y} if taps else {}
+    layers = params["layers"]
+    hf, t = _encoder(
+        y, lambda i: (layers[i]["ln1"], layers[i]["ln2"]),
+        lambda i, name, xx: dense(xx, layers[i][name]["w"], layers[i][name]["b"]),
+        params["norm"], cfg.depth, cfg.heads, cfg.attn_impl, cfg.fused_ln, taps,
+    )
+    logits = dense(hf[:, 0], params["head"]["w"], params["head"]["b"])
     if taps:
-        t["embed"] = y
-    for i, lp in enumerate(params["layers"]):
-        h = layernorm(y, lp["ln1"])
-        qkv = dense(h, lp["qkv"]["w"], lp["qkv"]["b"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = attention(q, k, v, cfg.heads, impl=cfg.attn_impl)
-        y = y + dense(a, lp["proj"]["w"], lp["proj"]["b"])
-        h = layernorm(y, lp["ln2"])
-        h = dense(h, lp["fc1"]["w"], lp["fc1"]["b"])
-        h = jax.nn.gelu(h, approximate=False)
-        y = y + dense(h, lp["fc2"]["w"], lp["fc2"]["b"])
-        if taps:
-            t[f"block{i}"] = y
-    y = layernorm(y, params["norm"])
-    logits = dense(y[:, 0], params["head"]["w"], params["head"]["b"])
-    if taps:
-        t["logits"] = logits
-        return logits, t
+        t0.update(t)
+        t0["logits"] = logits
+        return logits, t0
     return logits
 
 
@@ -166,40 +212,38 @@ def vit_extras(params: Params) -> Params:
 
 
 def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int,
-                  interchange=jnp.bfloat16, attn_impl: str = "xla"):
+                  interchange=jnp.bfloat16, attn_impl: str = "xla",
+                  fused_ln: bool = False):
     """ctx-based quantized forward. `interchange` is the inter-op dtype:
     DeiT-Ti at dim 192 is elementwise-bound (LN/gelu/softmax/residuals), so
     bf16 interchange halves the traffic that dominates its runtime; the
-    quantized matmuls are unaffected (they requantize their inputs)."""
+    quantized matmuls are unaffected (they requantize their inputs).
+    attn_impl/fused_ln select the Pallas deploy kernels (see ViTConfig)."""
+
+    ex_ln = extras["ln"]
 
     def qforward(ctx, x, cfg, taps: bool = False):
-        t: Dict[str, jnp.ndarray] = {}
         B = x.shape[0]
         x = x.astype(interchange)
         y = ctx.dense("patch", patchify(x, patch))
         cls = jnp.broadcast_to(extras["cls"].astype(y.dtype), (B, 1, dim))
         y = jnp.concatenate([cls, y], axis=1) + extras["pos"].astype(y.dtype)
-        for i in range(depth):
-            ln = extras["ln"][i]
-            h = layernorm(y, ln["ln1"])
-            qkv = ctx.dense(f"l{i}.qkv", h)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            a = attention(q, k, v, heads, impl=attn_impl)
-            y = y + ctx.dense(f"l{i}.proj", a)
-            h = layernorm(y, ln["ln2"])
-            h = ctx.dense(f"l{i}.fc1", h)
-            h = jax.nn.gelu(h, approximate=False)
-            y = y + ctx.dense(f"l{i}.fc2", h)
-            if taps:
-                t[f"block{i}"] = y
-        y = layernorm(y, extras["norm"])
-        logits = ctx.dense("head", y[:, 0]).astype(jnp.float32)
+        hf, t = _encoder(
+            y, lambda i: (_cast_ln(ex_ln[i]["ln1"], y.dtype), _cast_ln(ex_ln[i]["ln2"], y.dtype)),
+            lambda i, name, xx: ctx.dense(f"l{i}.{name}", xx),
+            _cast_ln(extras["norm"], y.dtype), depth, heads, attn_impl, fused_ln, taps,
+        )
+        logits = ctx.dense("head", hf[:, 0]).astype(jnp.float32)
         if taps:
             t["logits"] = logits
             return logits, t
         return logits
 
     return qforward
+
+
+def _cast_ln(p: Params, dtype) -> Params:
+    return {"g": p["g"].astype(dtype), "b": p["b"].astype(dtype)}
 
 
 @register("deit_tiny")

@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--variants", default="all",
                     help="comma list: fp32_xla,bf16_xla,bf16_fused,fp32_fused,"
-                         "attn_xla,attn_fused,ln_only,mlp_only")
+                         "bf16_fast,int8_fast,attn_xla,attn_fused,ln_only,"
+                         "ln_fused,mlp_only")
     args = ap.parse_args()
 
     import jax
@@ -62,8 +63,8 @@ def main():
     t0 = time.time()
     fwd_cache = {}
 
-    def full(name, p, xx, impl):
-        c = ViTConfig(attn_impl=impl)
+    def full(name, p, xx, impl, fused_ln=False):
+        c = ViTConfig(attn_impl=impl, fused_ln=fused_ln)
 
         def f(pp, xi):
             return vit_forward(pp, xi, c)
@@ -80,6 +81,27 @@ def main():
         full("bf16_fused", params_bf16, xb, "fused")
     if sel("fp32_fused"):
         full("fp32_fused", params, x, "fused")
+    if sel("bf16_fast"):
+        full("bf16_fast", params_bf16, xb, "fused", fused_ln=True)
+    if sel("int8_fast"):
+        # quantized deploy with the fused Pallas kernels (bf16 interchange)
+        from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
+        from dlq_tpu.quant.calibrate import calibrate
+        from dlq_tpu.quant.model_quant import DeployCtx, make_sites_fn, quantize_weights
+        from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+        flat = flatten_vit(params)
+        qf = make_qforward(vit_extras(params), cfg.depth, cfg.heads, cfg.patch,
+                           cfg.dim, attn_impl="fused", fused_ln=True)
+        calib = [jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.float32)]
+        scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT8_PER_CHANNEL)
+        qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+
+        def f8(pp, xi):
+            return qf(DeployCtx(pp, scales, INT8_PER_CHANNEL), xi, cfg)
+
+        r = device_time_fn(f8, qflat, x, perturb_arg=1, n_small=2, n_big=2 + args.iters)
+        emit("int8_fast", r, "W8A8 deploy + fused attention/LN")
 
     # ---- isolated component stacks (bf16, 12x like the real depth) ----
     N, D, h = cfg.seq_len, cfg.dim, cfg.heads
@@ -114,6 +136,17 @@ def main():
         r = device_time_fn(ln_stack, lp["ln1"]["g"], y0, perturb_arg=1,
                            n_small=2, n_big=2 + args.iters)
         emit("ln_x24", r, "24 layernorms")
+
+    if sel("ln_fused"):
+        from dlq_tpu.ops.pallas_layernorm import layernorm_fused
+
+        def lnf_stack(g, y):
+            for _ in range(2 * cfg.depth):
+                y = layernorm_fused(y, g, lp["ln1"]["b"])
+            return y
+        r = device_time_fn(lnf_stack, lp["ln1"]["g"], y0, perturb_arg=1,
+                           n_small=2, n_big=2 + args.iters)
+        emit("ln_fused_x24", r, "24 fused layernorms")
 
     if sel("mlp_only"):
         def mlp_stack(w1, y):
