@@ -41,11 +41,19 @@ class ViTConfig:
     # "fused": Pallas fused-softmax attention (ops/pallas_attention.py) —
     # the TPU deploy path; falls back to interpret mode on CPU.
     attn_impl: str = "xla"
-    # fused residual+LayerNorm Pallas kernels (ops/pallas_layernorm.py):
-    # XLA lowers each pre-LN junction to ~4 HBM passes — 7.2 ms of the
-    # 22.7 ms b256 forward (tools/bench_vit_breakdown.py). The fused loop
-    # keeps the same math (taps land at identical block boundaries).
+    # fused residual+LayerNorm Pallas kernels (ops/pallas_layernorm.py).
+    # 4.8x faster than XLA's LN in isolation, but measured SLOWER in the
+    # full forward (the pallas_call boundary stops XLA fusing the LN into
+    # its producer/consumer, which it does in the full graph) — keep False
+    # unless the surrounding graph is already kernel-bounded. Measurements
+    # in BENCH_NOTES.md.
     fused_ln: bool = False
+    # exact erf GELU costs 5.8 ms/batch-256 on the VPU (73% of the MLP
+    # stack); the tanh approximation fuses into the matmul for free.
+    # "exact" for torch-oracle parity, "tanh" for deployment (max activation
+    # error ~3e-3, far under int8 quantization noise — gated by the
+    # error-report harness).
+    gelu: str = "exact"
 
     @property
     def seq_len(self) -> int:
@@ -120,7 +128,8 @@ def attention(q, k, v, heads: int, impl: str = "xla"):
 
 
 def _encoder(y, get_ln, op, final_norm, depth: int, heads: int,
-             attn_impl: str, fused_ln: bool, taps: bool):
+             attn_impl: str, fused_ln: bool, taps: bool,
+             gelu: str = "exact"):
     """Shared pre-LN encoder loop for the fp32 and quantized paths.
 
     With fused_ln, each `y += delta; h = LN(y)` junction runs as ONE fused
@@ -156,7 +165,7 @@ def _encoder(y, get_ln, op, final_norm, depth: int, heads: int,
             y = y + a
             h2 = layernorm(y, ln2)
         m = op(i, "fc1", h2)
-        m = jax.nn.gelu(m, approximate=False)
+        m = jax.nn.gelu(m, approximate=(gelu == "tanh"))
         delta = op(i, "fc2", m)
     if fused_ln:
         y, hf = residual_layernorm(y, delta, final_norm["g"], final_norm["b"])
@@ -179,6 +188,7 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, taps: bool = Fal
         y, lambda i: (layers[i]["ln1"], layers[i]["ln2"]),
         lambda i, name, xx: dense(xx, layers[i][name]["w"], layers[i][name]["b"]),
         params["norm"], cfg.depth, cfg.heads, cfg.attn_impl, cfg.fused_ln, taps,
+        gelu=cfg.gelu,
     )
     logits = dense(hf[:, 0], params["head"]["w"], params["head"]["b"])
     if taps:
@@ -213,7 +223,7 @@ def vit_extras(params: Params) -> Params:
 
 def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int,
                   interchange=jnp.bfloat16, attn_impl: str = "xla",
-                  fused_ln: bool = False):
+                  fused_ln: bool = False, gelu: str = "exact"):
     """ctx-based quantized forward. `interchange` is the inter-op dtype:
     DeiT-Ti at dim 192 is elementwise-bound (LN/gelu/softmax/residuals), so
     bf16 interchange halves the traffic that dominates its runtime; the
@@ -232,6 +242,7 @@ def make_qforward(extras: Params, depth: int, heads: int, patch: int, dim: int,
             y, lambda i: (_cast_ln(ex_ln[i]["ln1"], y.dtype), _cast_ln(ex_ln[i]["ln2"], y.dtype)),
             lambda i, name, xx: ctx.dense(f"l{i}.{name}", xx),
             _cast_ln(extras["norm"], y.dtype), depth, heads, attn_impl, fused_ln, taps,
+            gelu=gelu,
         )
         logits = ctx.dense("head", hf[:, 0]).astype(jnp.float32)
         if taps:

@@ -63,8 +63,8 @@ def main():
     t0 = time.time()
     fwd_cache = {}
 
-    def full(name, p, xx, impl, fused_ln=False):
-        c = ViTConfig(attn_impl=impl, fused_ln=fused_ln)
+    def full(name, p, xx, impl, fused_ln=False, gelu="exact"):
+        c = ViTConfig(attn_impl=impl, fused_ln=fused_ln, gelu=gelu)
 
         def f(pp, xi):
             return vit_forward(pp, xi, c)
@@ -83,6 +83,13 @@ def main():
         full("fp32_fused", params, x, "fused")
     if sel("bf16_fast"):
         full("bf16_fast", params_bf16, xb, "fused", fused_ln=True)
+    if sel("bf16_lnfast"):
+        full("bf16_lnfast", params_bf16, xb, "xla", fused_ln=True)
+    if sel("fp32_fast"):
+        full("fp32_fast", params, x, "fused", fused_ln=True)
+    if sel("bf16_deploy"):
+        # the production recipe: bf16 + fused attention + tanh gelu
+        full("bf16_deploy", params_bf16, xb, "fused", gelu="tanh")
     if sel("int8_fast"):
         # quantized deploy with the fused Pallas kernels (bf16 interchange)
         from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
@@ -158,6 +165,23 @@ def main():
         r = device_time_fn(mlp_stack, lp["fc1"]["w"], y0, perturb_arg=1,
                            n_small=2, n_big=2 + args.iters)
         emit("mlp_x12", r, "12x fc1+gelu+fc2+res")
+
+    if sel("mlp_acts"):
+        # isolate the nonlinearity cost: same 12x MLP with different acts
+        for act_name, act in [
+            ("nogelu", lambda t: t),
+            ("relu", lambda t: jnp.maximum(t, 0)),
+            ("gelu_tanh", lambda t: jax.nn.gelu(t, approximate=True)),
+        ]:
+            def mlp_stack_a(w1, y, _act=act):
+                for _ in range(cfg.depth):
+                    hdn = jnp.dot(y, w1, preferred_element_type=jnp.float32).astype(y.dtype)
+                    hdn = _act(hdn)
+                    y = y + jnp.dot(hdn, lp["fc2"]["w"], preferred_element_type=jnp.float32).astype(y.dtype)
+                return y
+            r = device_time_fn(mlp_stack_a, lp["fc1"]["w"], y0, perturb_arg=1,
+                               n_small=2, n_big=2 + args.iters)
+            emit(f"mlp_x12_{act_name}", r, f"12x fc1+{act_name}+fc2+res")
 
     print(json.dumps({"variant": "_done", "wall_s": round(time.time() - t0, 1),
                       "device": str(jax.devices()[0])}), flush=True)
