@@ -1,0 +1,244 @@
+"""Pallas TPU fused transformer block: LN1 -> QKV -> MHSA -> proj -> +res ->
+LN2 -> FC1 -> GELU -> FC2 -> +res, one kernel per layer, per-batch-group grid.
+
+Why (tools/bench_vit_breakdown.py, v5e b256 DeiT-Ti): the unfused forward is
+elementwise/HBM-bound — attention 7.7 ms, LayerNorms 7.2 ms, exact GELU
+5.8 ms of a 22.7 ms forward — and piecemeal Pallas kernels lose their wins
+to fusion barriers at every pallas_call boundary. This kernel crosses HBM
+once in and once out per (layer, batch-group): every intermediate (scores,
+softmax, LN moments, GELU) lives in VMEM.
+
+Layout contract (pack_vit_blocks): tokens padded N->Np (lane multiple),
+features D->Dp (hd-aligned lane multiple, padded head slots are zero weights
+so the zero lanes self-propagate), QKV weight columns [q(Dp)|k(Dp)|v(Dp)]
+with heads at hd-offsets. All patterns (64-offset lane slices, NT
+dot_general, lane-offset scratch writes, in-kernel merge-reshape, tanh) are
+probed green on TPU by tools/probe_mosaic_patterns.py.
+
+Reference analogue: none (the reference is CNN-only) — this is the
+framework's ViT deploy path; semantics match models/vit.vit_forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _ln_f32(x, g, b, d_valid, eps=1e-6):
+    """LN over Dp lanes, exact over the d_valid prefix (pad lanes are zero
+    on entry and zero on exit because g/b are zero-padded)."""
+    inv_n = 1.0 / float(d_valid)
+    mu = jnp.sum(x, -1, keepdims=True) * inv_n
+    m2 = jnp.sum(x * x, -1, keepdims=True) * inv_n
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  ln1_ref, ln2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                  o_ref, attn_scr,
+                  *, n_valid, d_valid, heads, hd, gelu_tanh):
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    x = y_ref[:].reshape(rows, Dp)
+    xf = x.astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)   # [2, Dp] (g, b)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid).astype(jnp.bfloat16)
+
+    qkv = jax.lax.dot(h1, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # --- MHSA, entirely in VMEM ---
+    scale = 1.0 / float(hd) ** 0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+    pad_heads = Dp // hd
+    if heads < pad_heads:  # zero the padded head lanes once per step
+        attn_scr[:, heads * hd :] = jnp.zeros_like(attn_scr[:, heads * hd :])
+    for bt in range(Bt):
+        r0 = bt * Np
+        for h in range(heads):
+            c0 = h * hd
+            qh = qkv[r0 : r0 + Np, c0 : c0 + hd]
+            kh = qkv[r0 : r0 + Np, Dp + c0 : Dp + c0 + hd]
+            vh = qkv[r0 : r0 + Np, 2 * Dp + c0 : 2 * Dp + c0 + hd]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if n_valid != Np:
+                s = jnp.where(col < n_valid, s, -1e30)
+            m = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - m)
+            attn = (p / jnp.sum(p, -1, keepdims=True)).astype(jnp.bfloat16)
+            attn_scr[r0 : r0 + Np, c0 : c0 + hd] = jax.lax.dot(
+                attn, vh, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+    a = jax.lax.dot(attn_scr[:], wproj_ref[:], preferred_element_type=jnp.float32)
+    a = a + bproj_ref[:].astype(jnp.float32)
+    z1 = xf + a
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid).astype(jnp.bfloat16)
+    f = jax.lax.dot(h2, wfc1_ref[:], preferred_element_type=jnp.float32)
+    f = f + bfc1_ref[:].astype(jnp.float32)
+    if gelu_tanh:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        f = 0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))
+    else:
+        f = jax.nn.gelu(f, approximate=False)
+    f = f.astype(jnp.bfloat16)
+    out = z1 + jax.lax.dot(f, wfc2_ref[:], preferred_element_type=jnp.float32)
+    out = out + bfc2_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "interpret"))
+def vit_block_fused(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                    n_valid: int, d_valid: int, heads: int, hd: int,
+                    bt: int = 4, gelu_tanh: bool = True,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """One transformer block on the padded residual stream y [B, Np, Dp]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    H = w["wfc1"].shape[-1]
+    kernel = functools.partial(
+        _block_kernel, n_valid=n_valid, d_valid=d_valid,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((Dp, 3 * Dp)), full((1, 3 * Dp)),
+            full((Dp, Dp)), full((1, Dp)),
+            full((2, Dp)), full((2, Dp)),
+            full((Dp, H)), full((1, H)),
+            full((H, Dp)), full((1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        scratch_shapes=[pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * Np * Dp * (3 * Dp + Dp + 2 * H) * (B // bt)
+            + 4 * B * heads * Np * Np * hd,
+            bytes_accessed=2 * B * Np * Dp * 2 + (4 * Dp * Dp + 2 * Dp * H) * 2,
+            transcendentals=B * heads * Np * Np + B * Np * H,
+        ),
+        interpret=interpret,
+    )(y, w["wqkv"], w["bqkv"], w["wproj"], w["bproj"], w["ln1"], w["ln2"],
+      w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"])
+
+
+# ---------------------------------------------------------------------------
+# offline packing + full forward
+# ---------------------------------------------------------------------------
+
+def pack_vit_blocks(params: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Pad/pack fp32 ViT params (models/vit.init_vit layout) for the fused
+    block kernel: D -> Dp (lane/hd aligned), QKV columns [q|k|v] each Dp wide
+    with heads at hd offsets, zero-padded everywhere so pad lanes
+    self-propagate as zeros. Returns a pytree of device arrays (bf16)."""
+    D = cfg.dim
+    hd = D // cfg.heads
+    Dp = _cdiv(max(D, 128), 128) * 128
+    assert Dp % hd == 0, (Dp, hd)
+    N = cfg.seq_len
+    Np = _cdiv(max(N, 128), 128) * 128
+    H = cfg.mlp_ratio * D
+    Hp = _cdiv(H, 128) * 128
+
+    def padw(a, r, c):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+    def padv(a, n):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, n - a.shape[0]))
+
+    blocks: List[Dict[str, jnp.ndarray]] = []
+    for lp in params["layers"]:
+        wq, wk, wv = jnp.split(jnp.asarray(lp["qkv"]["w"], jnp.float32), 3, -1)
+        bq, bk, bv = jnp.split(jnp.asarray(lp["qkv"]["b"], jnp.float32), 3, -1)
+        wqkv = jnp.concatenate(
+            [padw(wq, Dp, Dp), padw(wk, Dp, Dp), padw(wv, Dp, Dp)], axis=-1)
+        bqkv = jnp.concatenate([padv(bq, Dp), padv(bk, Dp), padv(bv, Dp)])
+        blocks.append({
+            "wqkv": wqkv.astype(jnp.bfloat16),
+            "bqkv": bqkv.reshape(1, -1).astype(jnp.float32),
+            "wproj": padw(lp["proj"]["w"], Dp, Dp).astype(jnp.bfloat16),
+            "bproj": padv(lp["proj"]["b"], Dp).reshape(1, -1).astype(jnp.float32),
+            "ln1": jnp.stack([padv(lp["ln1"]["g"], Dp), padv(lp["ln1"]["b"], Dp)]),
+            "ln2": jnp.stack([padv(lp["ln2"]["g"], Dp), padv(lp["ln2"]["b"], Dp)]),
+            "wfc1": padw(lp["fc1"]["w"], Dp, Hp).astype(jnp.bfloat16),
+            "bfc1": padv(lp["fc1"]["b"], Hp).reshape(1, -1).astype(jnp.float32),
+            "wfc2": padw(lp["fc2"]["w"], Hp, Dp).astype(jnp.bfloat16),
+            "bfc2": padv(lp["fc2"]["b"], Dp).reshape(1, -1).astype(jnp.float32),
+        })
+    return {
+        "blocks": blocks,
+        "patch": {"w": jnp.asarray(params["patch"]["w"], jnp.bfloat16),
+                  "b": jnp.asarray(params["patch"]["b"], jnp.bfloat16)},
+        "cls": jnp.asarray(params["cls"], jnp.bfloat16),
+        "pos": jnp.asarray(params["pos"], jnp.bfloat16),
+        "norm": {"g": jnp.asarray(params["norm"]["g"], jnp.float32),
+                 "b": jnp.asarray(params["norm"]["b"], jnp.float32)},
+        "head": {"w": jnp.asarray(params["head"]["w"], jnp.bfloat16),
+                 "b": jnp.asarray(params["head"]["b"], jnp.float32)},
+        # informational only (the forward derives these statically from cfg)
+        "dims": jnp.asarray([N, Np, D, Dp, hd], jnp.int32),
+    }
+
+
+def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
+                           bt: int = 4, gelu_tanh: bool = True,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """Full DeiT/ViT forward on the fused block kernel (bf16 deploy path).
+
+    Embed + final norm + head run as XLA ops (tiny); the 12 blocks run as
+    fused kernels over the padded [B, Np, Dp] residual stream.
+    """
+    from dlq_tpu.models.vit import layernorm, patchify
+
+    # derive statically from cfg (packed["dims"] records the same values but
+    # would be traced if read from the pytree under jit)
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np = _cdiv(max(N, 128), 128) * 128
+    Dp = _cdiv(max(D, 128), 128) * 128
+    B = x.shape[0]
+    y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    y = y + packed["patch"]["b"]
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in packed["blocks"]:
+        y = vit_block_fused(y, w, n_valid=N, d_valid=D, heads=cfg.heads,
+                            hd=hd, bt=bt, gelu_tanh=gelu_tanh,
+                            interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"].astype(jnp.float32),
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]

@@ -1,0 +1,59 @@
+"""Fused whole-transformer-block kernel: parity vs the reference forward."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlq_tpu import numerics
+from dlq_tpu.models.vit import ViTConfig, init_vit, vit_forward
+from dlq_tpu.ops.pallas_vit_block import pack_vit_blocks, vit_forward_blockfused
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ViTConfig(image_size=32, patch=8, dim=96, depth=2, heads=3, num_classes=10)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3), jnp.float32)
+    return cfg, params, x
+
+
+def test_blockfused_matches_reference(tiny):
+    cfg, params, x = tiny
+    ref = np.asarray(vit_forward(params, x, dataclasses.replace(cfg, gelu="tanh")))
+    out = np.asarray(vit_forward_blockfused(pack_vit_blocks(params, cfg), x, cfg))
+    d = numerics.diff(out, ref)
+    assert d.cosine > 0.9999
+    assert numerics.top1_agreement(out, ref) == 1.0
+
+
+def test_blockfused_exact_gelu_variant(tiny):
+    cfg, params, x = tiny
+    ref = np.asarray(vit_forward(params, x, cfg))  # exact gelu oracle
+    out = np.asarray(vit_forward_blockfused(
+        pack_vit_blocks(params, cfg), x, cfg, gelu_tanh=False))
+    assert numerics.diff(out, ref).cosine > 0.9999
+
+
+def test_blockfused_odd_batch_bt_fallback(tiny):
+    cfg, params, x = tiny
+    packed = pack_vit_blocks(params, cfg)
+    ref = np.asarray(vit_forward_blockfused(packed, x, cfg, bt=4))
+    # batch 2 with bt=4 must fall back to a dividing group size, same numbers
+    out2 = np.asarray(vit_forward_blockfused(packed, x[:2], cfg, bt=4))
+    np.testing.assert_allclose(out2, ref[:2], atol=2e-3)
+
+
+def test_pack_shapes_padded(tiny):
+    cfg, params, _ = tiny
+    packed = pack_vit_blocks(params, cfg)
+    N, Np, D, Dp, hd = (int(v) for v in packed["dims"])
+    assert (N, D, hd) == (cfg.seq_len, 96, 32)
+    assert Np % 128 == 0 and Dp % 128 == 0 and Dp % hd == 0
+    b0 = packed["blocks"][0]
+    assert b0["wqkv"].shape == (Dp, 3 * Dp) and b0["wqkv"].dtype == jnp.bfloat16
+    # padded feature columns must be zero so pad lanes self-propagate
+    assert float(jnp.abs(b0["wqkv"][D:, :]).max()) == 0.0
+    assert float(jnp.abs(b0["wqkv"][:, D:Dp]).max()) == 0.0

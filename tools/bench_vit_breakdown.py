@@ -90,6 +90,18 @@ def main():
     if sel("bf16_deploy"):
         # the production recipe: bf16 + fused attention + tanh gelu
         full("bf16_deploy", params_bf16, xb, "fused", gelu="tanh")
+    if sel("bf16_block"):
+        # fused whole-block kernel (ops/pallas_vit_block.py)
+        from dlq_tpu.ops.pallas_vit_block import pack_vit_blocks, vit_forward_blockfused
+
+        packed = pack_vit_blocks(params, cfg)
+        for bt in (2, 4, 8):
+            def fblk(pp, xi, _bt=bt):
+                return vit_forward_blockfused(pp, xi, cfg, bt=_bt, gelu_tanh=True)
+
+            r = device_time_fn(fblk, packed, x, perturb_arg=1,
+                               n_small=2, n_big=2 + args.iters)
+            emit(f"bf16_block_bt{bt}", r, "fused whole-block kernel")
     if sel("int8_fast"):
         # quantized deploy with the fused Pallas kernels (bf16 interchange)
         from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
