@@ -168,14 +168,30 @@ class Engine:
                                ("num_classes", "image_size", "patch", "dim",
                                 "depth", "heads", "mlp_ratio") if k in mcfg})
             ex = unflatten_extras(extras)
+            if ctx == "block":
+                # W8A8 fused whole-block kernel — the fastest quantized ViT
+                # path (ops/pallas_vit_block.py)
+                from dlq_tpu.ops.pallas_vit_block import (
+                    pack_vit_blocks_w8, vit_forward_blockfused_w8,
+                )
+
+                packed = pack_vit_blocks_w8(qflat, act_scales, ex, cfg)
+
+                def fwd_block(p, x):
+                    return vit_forward_blockfused_w8(p, x, cfg)
+
+                eng = Engine(fwd_block, packed, name=f"{model}_block", **kw)
+                eng.qcfg = qcfg
+                eng.model_cfg = cfg
+                return eng
+            if ctx != "deploy":
+                raise ValueError("deit_tiny supports ctx='deploy' or 'block' "
+                                 "(fused int8-interchange ctxs are conv-model paths)")
             # fused Pallas attention on accelerators; interpret-mode Pallas on
             # CPU is correct but slow, so keep the jnp path there
             attn = "xla" if jax.default_backend() == "cpu" else "fused"
             qf = make_vit_qf(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
                              attn_impl=attn)
-            if ctx != "deploy":
-                raise ValueError("deit_tiny supports ctx='deploy' only "
-                                 "(fused int8-interchange ctxs are conv-model paths)")
         else:
             raise ValueError(f"from_store: unsupported model {model}")
         Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,

@@ -44,26 +44,12 @@ def _ln_f32(x, g, b, d_valid, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                  ln1_ref, ln2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-                  o_ref, attn_scr,
-                  *, n_valid, d_valid, heads, hd, gelu_tanh):
-    Bt, Np, Dp = y_ref.shape
-    rows = Bt * Np
-    x = y_ref[:].reshape(rows, Dp)
-    xf = x.astype(jnp.float32)
-
-    ln1 = ln1_ref[:].astype(jnp.float32)   # [2, Dp] (g, b)
-    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid).astype(jnp.bfloat16)
-
-    qkv = jax.lax.dot(h1, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
-
-    # --- MHSA, entirely in VMEM ---
+def _mhsa_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd, n_valid):
+    """Per-(sample, head) softmax(QKᵀ/√d)V from the fused qkv value into the
+    lane-sliced scratch (head-merge is free: heads live at hd-offsets)."""
     scale = 1.0 / float(hd) ** 0.5
     col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
-    pad_heads = Dp // hd
-    if heads < pad_heads:  # zero the padded head lanes once per step
+    if heads * hd < Dp:  # zero the padded head lanes once per step
         attn_scr[:, heads * hd :] = jnp.zeros_like(attn_scr[:, heads * hd :])
     for bt in range(Bt):
         r0 = bt * Np
@@ -85,6 +71,36 @@ def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 attn, vh, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16)
 
+
+def _gelu_f32(f, tanh_approx: bool):
+    if tanh_approx:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        return 0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))
+    return jax.nn.gelu(f, approximate=False)
+
+
+def _quant_i8(x, inv_scale):
+    return jnp.clip(jnp.round(x * inv_scale), -127, 127).astype(jnp.int8)
+
+
+def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  ln1_ref, ln2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                  o_ref, attn_scr,
+                  *, n_valid, d_valid, heads, hd, gelu_tanh):
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    x = y_ref[:].reshape(rows, Dp)
+    xf = x.astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)   # [2, Dp] (g, b)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid).astype(jnp.bfloat16)
+
+    qkv = jax.lax.dot(h1, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    _mhsa_into_scratch(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads,
+                       hd=hd, n_valid=n_valid)
+
     a = jax.lax.dot(attn_scr[:], wproj_ref[:], preferred_element_type=jnp.float32)
     a = a + bproj_ref[:].astype(jnp.float32)
     z1 = xf + a
@@ -93,14 +109,53 @@ def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid).astype(jnp.bfloat16)
     f = jax.lax.dot(h2, wfc1_ref[:], preferred_element_type=jnp.float32)
     f = f + bfc1_ref[:].astype(jnp.float32)
-    if gelu_tanh:
-        c = 0.7978845608028654  # sqrt(2/pi)
-        f = 0.5 * f * (1.0 + jnp.tanh(c * (f + 0.044715 * f * f * f)))
-    else:
-        f = jax.nn.gelu(f, approximate=False)
-    f = f.astype(jnp.bfloat16)
+    f = _gelu_f32(f, gelu_tanh).astype(jnp.bfloat16)
     out = z1 + jax.lax.dot(f, wfc2_ref[:], preferred_element_type=jnp.float32)
     out = out + bfc2_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+def _block_kernel_w8(y_ref, inv_ref,
+                     wqkv_ref, sqkv_ref, bqkv_ref,
+                     wproj_ref, sproj_ref, bproj_ref,
+                     ln1_ref, ln2_ref,
+                     wfc1_ref, sfc1_ref, bfc1_ref,
+                     wfc2_ref, sfc2_ref, bfc2_ref,
+                     o_ref, attn_scr,
+                     *, n_valid, d_valid, heads, hd, gelu_tanh):
+    """W8A8 variant: weights resident int8 (per-channel scales folded with the
+    calibrated static activation scales into s*_ref rows), activations
+    quantized in-register at each matmul site, int8xint8->int32 on the MXU.
+    Same numerics contract as ops/qops.qdense (round-half-even, clip +-127).
+    inv_ref: SMEM [1,4] inverse activation scales (qkv, proj, fc1, fc2)."""
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    x = y_ref[:].reshape(rows, Dp)
+    xf = x.astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid)
+    acc = jax.lax.dot(_quant_i8(h1, inv_ref[0, 0]), wqkv_ref[:],
+                      preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * sqkv_ref[:] + bqkv_ref[:]).astype(jnp.bfloat16)
+
+    _mhsa_into_scratch(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads,
+                       hd=hd, n_valid=n_valid)
+
+    acc = jax.lax.dot(_quant_i8(attn_scr[:].astype(jnp.float32), inv_ref[0, 1]),
+                      wproj_ref[:], preferred_element_type=jnp.int32)
+    a = acc.astype(jnp.float32) * sproj_ref[:] + bproj_ref[:]
+    z1 = xf + a
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid)
+    acc = jax.lax.dot(_quant_i8(h2, inv_ref[0, 2]), wfc1_ref[:],
+                      preferred_element_type=jnp.int32)
+    f = acc.astype(jnp.float32) * sfc1_ref[:] + bfc1_ref[:]
+    f = _gelu_f32(f, gelu_tanh)
+    acc = jax.lax.dot(_quant_i8(f, inv_ref[0, 3]), wfc2_ref[:],
+                      preferred_element_type=jnp.int32)
+    out = z1 + acc.astype(jnp.float32) * sfc2_ref[:] + bfc2_ref[:]
     o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
 
 
@@ -150,6 +205,56 @@ def vit_block_fused(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
         interpret=interpret,
     )(y, w["wqkv"], w["bqkv"], w["wproj"], w["bproj"], w["ln1"], w["ln2"],
       w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "interpret"))
+def vit_block_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                       n_valid: int, d_valid: int, heads: int, hd: int,
+                       bt: int = 8, gelu_tanh: bool = True,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """W8A8 fused transformer block (weights int8-resident in HBM)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    H = w["wfc1"].shape[-1]
+    kernel = functools.partial(
+        _block_kernel_w8, n_valid=n_valid, d_valid=d_valid,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full((Dp, 3 * Dp)), full((1, 3 * Dp)), full((1, 3 * Dp)),
+            full((Dp, Dp)), full((1, Dp)), full((1, Dp)),
+            full((2, Dp)), full((2, Dp)),
+            full((Dp, H)), full((1, H)), full((1, H)),
+            full((H, Dp)), full((1, Dp)), full((1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        scratch_shapes=[pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Dp * (3 * Dp + Dp + 2 * H)
+            + 4 * B * heads * Np * Np * hd,
+            bytes_accessed=2 * B * Np * Dp * 2 + 4 * Dp * Dp + 2 * Dp * H,
+            transcendentals=B * heads * Np * Np + B * Np * H,
+        ),
+        interpret=interpret,
+    )(y, w["inv_act"], w["wqkv"], w["sqkv"], w["bqkv"],
+      w["wproj"], w["sproj"], w["bproj"], w["ln1"], w["ln2"],
+      w["wfc1"], w["sfc1"], w["bfc1"], w["wfc2"], w["sfc2"], w["bfc2"])
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +315,115 @@ def pack_vit_blocks(params: Dict[str, Any], cfg) -> Dict[str, Any]:
         # informational only (the forward derives these statically from cfg)
         "dims": jnp.asarray([N, Np, D, Dp, hd], jnp.int32),
     }
+
+
+def pack_vit_blocks_w8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
+                       extras: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Pack an INT8-quantized ViT (quant.model_quant layout: flatten_vit
+    sites + vit_extras) for the W8A8 fused block kernel. Weights stay int8;
+    per-channel weight scales fold with the calibrated static activation
+    scales into one fp32 row per matmul."""
+    from dlq_tpu.quant.quantize import dequantize
+
+    D = cfg.dim
+    hd = D // cfg.heads
+    Dp = _cdiv(max(D, 128), 128) * 128
+    N = cfg.seq_len
+    Np = _cdiv(max(N, 128), 128) * 128
+    H = cfg.mlp_ratio * D
+    Hp = _cdiv(H, 128) * 128
+
+    def padw8(a, r, c):
+        a = jnp.asarray(a, jnp.int8)
+        return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+    def padv(a, n):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, n - a.shape[0]))
+
+    def site(name, cols):
+        p = qflat[name]
+        qw = p["qw"]
+        wscale = jnp.broadcast_to(jnp.asarray(qw.scale, jnp.float32),
+                                  (qw.shape[-1],))
+        comb = float(act_scales[name]) if not hasattr(act_scales[name], "shape") \
+            else act_scales[name]
+        comb = jnp.asarray(comb, jnp.float32) * wscale
+        b = p.get("b")
+        return (qw.values, comb,
+                jnp.zeros((qw.shape[-1],), jnp.float32) if b is None else b)
+
+    blocks: List[Dict[str, jnp.ndarray]] = []
+    for i in range(cfg.depth):
+        wq8, sq, bq = site(f"l{i}.qkv", 3 * D)
+        wqs, wks, wvs = jnp.split(jnp.asarray(wq8, jnp.int8), 3, -1)
+        sqs, sks, svs = jnp.split(sq, 3)
+        bqs, bks, bvs = jnp.split(jnp.asarray(bq, jnp.float32), 3)
+        wp8, sp, bp = site(f"l{i}.proj", D)
+        wf18, sf1, bf1 = site(f"l{i}.fc1", H)
+        wf28, sf2, bf2 = site(f"l{i}.fc2", D)
+        ln = extras["ln"][i]
+        inv = jnp.asarray([[1.0 / float(act_scales[f"l{i}.{s}"])
+                            for s in ("qkv", "proj", "fc1", "fc2")]], jnp.float32)
+        blocks.append({
+            "inv_act": inv,
+            "wqkv": jnp.concatenate(
+                [padw8(wqs, Dp, Dp), padw8(wks, Dp, Dp), padw8(wvs, Dp, Dp)], -1),
+            "sqkv": jnp.concatenate(
+                [padv(sqs, Dp), padv(sks, Dp), padv(svs, Dp)]).reshape(1, -1),
+            "bqkv": jnp.concatenate(
+                [padv(bqs, Dp), padv(bks, Dp), padv(bvs, Dp)]).reshape(1, -1),
+            "wproj": padw8(wp8, Dp, Dp),
+            "sproj": padv(sp, Dp).reshape(1, -1),
+            "bproj": padv(bp, Dp).reshape(1, -1),
+            "ln1": jnp.stack([padv(ln["ln1"]["g"], Dp), padv(ln["ln1"]["b"], Dp)]),
+            "ln2": jnp.stack([padv(ln["ln2"]["g"], Dp), padv(ln["ln2"]["b"], Dp)]),
+            "wfc1": padw8(wf18, Dp, Hp),
+            "sfc1": padv(sf1, Hp).reshape(1, -1),
+            "bfc1": padv(bf1, Hp).reshape(1, -1),
+            "wfc2": padw8(wf28, Hp, Dp),
+            "sfc2": padv(sf2, Dp).reshape(1, -1),
+            "bfc2": padv(bf2, Dp).reshape(1, -1),
+        })
+    patch_w = dequantize(qflat["patch"]["qw"]).astype(jnp.bfloat16)
+    head_w = dequantize(qflat["head"]["qw"]).astype(jnp.float32)
+    return {
+        "blocks": blocks,
+        "patch": {"w": patch_w,
+                  "b": jnp.asarray(qflat["patch"]["b"], jnp.bfloat16)},
+        "cls": jnp.asarray(extras["cls"], jnp.bfloat16),
+        "pos": jnp.asarray(extras["pos"], jnp.bfloat16),
+        "norm": {"g": jnp.asarray(extras["norm"]["g"], jnp.float32),
+                 "b": jnp.asarray(extras["norm"]["b"], jnp.float32)},
+        "head": {"w": head_w,
+                 "b": jnp.asarray(qflat["head"]["b"], jnp.float32)},
+    }
+
+
+def vit_forward_blockfused_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
+                              bt: int = 8, gelu_tanh: bool = True,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """Quantized (W8A8) fused-block forward — the ViT int8 deploy path."""
+    from dlq_tpu.models.vit import layernorm, patchify
+
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np = _cdiv(max(N, 128), 128) * 128
+    Dp = _cdiv(max(D, 128), 128) * 128
+    B = x.shape[0]
+    y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    y = y + packed["patch"]["b"]
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in packed["blocks"]:
+        y = vit_block_fused_w8(y, w, n_valid=N, d_valid=D, heads=cfg.heads,
+                               hd=hd, bt=bt, gelu_tanh=gelu_tanh,
+                               interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"],
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]
 
 
 def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,

@@ -73,3 +73,10 @@ def test_engine_from_store_deit(tmp_path):
     # must match the in-memory deploy path exactly (same ctx, same scales)
     ref = qf(DeployCtx(qflat, scales, INT8_PER_CHANNEL), jnp.asarray(x), cfg)
     np.testing.assert_allclose(logits, np.asarray(ref, np.float32), rtol=0, atol=2e-2)
+
+    # ctx="block": W8A8 fused whole-block kernel from the same store
+    eng_b = Engine.from_store(str(tmp_path / "store"), ctx="block", batch=4)
+    lb = np.asarray(eng_b(x))
+    from dlq_tpu import numerics
+    assert numerics.diff(lb, np.asarray(ref, np.float32)).cosine > 0.999
+    assert numerics.top1_agreement(lb, np.asarray(ref, np.float32)) == 1.0

@@ -46,6 +46,31 @@ def test_blockfused_odd_batch_bt_fallback(tiny):
     np.testing.assert_allclose(out2, ref[:2], atol=2e-3)
 
 
+def test_blockfused_w8_matches_fp32(tiny):
+    """W8A8 fused block: quantized deploy accuracy gate (the reference's
+    top-1-agreement methodology, SURVEY §4.4)."""
+    from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w8, vit_forward_blockfused_w8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+    cfg, params, x = tiny
+    flat = flatten_vit(params)
+    qf = make_qforward(vit_extras(params), cfg.depth, cfg.heads, cfg.patch, cfg.dim)
+    calib = [jax.random.normal(jax.random.PRNGKey(5), (8, 32, 32, 3), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT8_PER_CHANNEL)
+    packed = pack_vit_blocks_w8(quantize_weights(flat, INT8_PER_CHANNEL),
+                                scales, vit_extras(params), cfg)
+    out = np.asarray(vit_forward_blockfused_w8(packed, x, cfg))
+    ref = np.asarray(vit_forward(params, x, dataclasses.replace(cfg, gelu="tanh")))
+    d = numerics.diff(out, ref)
+    assert d.cosine > 0.999
+    assert numerics.top1_agreement(out, ref) == 1.0
+
+
 def test_pack_shapes_padded(tiny):
     cfg, params, _ = tiny
     packed = pack_vit_blocks(params, cfg)

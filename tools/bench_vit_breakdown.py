@@ -90,6 +90,30 @@ def main():
     if sel("bf16_deploy"):
         # the production recipe: bf16 + fused attention + tanh gelu
         full("bf16_deploy", params_bf16, xb, "fused", gelu="tanh")
+    if sel("int8_block"):
+        # W8A8 fused whole-block kernel — quantized ViT that actually pays
+        from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
+        from dlq_tpu.ops.pallas_vit_block import (
+            pack_vit_blocks_w8, vit_forward_blockfused_w8,
+        )
+        from dlq_tpu.quant.calibrate import calibrate
+        from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+        from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+        flat = flatten_vit(params)
+        qf = make_qforward(vit_extras(params), cfg.depth, cfg.heads, cfg.patch, cfg.dim)
+        calib = [jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.float32)]
+        scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT8_PER_CHANNEL)
+        packedq = pack_vit_blocks_w8(quantize_weights(flat, INT8_PER_CHANNEL),
+                                     scales, vit_extras(params), cfg)
+        for bt in (4, 8):
+            def fq(pp, xi, _bt=bt):
+                return vit_forward_blockfused_w8(pp, xi, cfg, bt=_bt)
+
+            r = device_time_fn(fq, packedq, x, perturb_arg=1,
+                               n_small=2, n_big=2 + args.iters)
+            emit(f"int8_block_bt{bt}", r, "W8A8 fused whole-block kernel")
+
     if sel("bf16_block"):
         # fused whole-block kernel (ops/pallas_vit_block.py)
         from dlq_tpu.ops.pallas_vit_block import pack_vit_blocks, vit_forward_blockfused
