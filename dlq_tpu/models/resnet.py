@@ -376,6 +376,14 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
                 # requantizing with it would clip); keep this one junction
                 # fp32 (a single 7x7 tensor, negligible traffic)
                 nxt = None
+            down = f"{site}.down"
+            if (nxt is not None and stride == 1 and not ctx.has(down)
+                    and getattr(ctx, "fused_block", None) is not None
+                    and hasattr(y, "q")):
+                fb = ctx.fused_block(site, y, nxt)
+                if fb is not None:
+                    y = fb
+                    continue
             if cfg.bottleneck:
                 z = ctx.conv(f"{site}.conv1", y, fuse_relu=True,
                              out_site=f"{site}.conv2")
@@ -386,7 +394,6 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
                 z = ctx.conv(f"{site}.conv1", y, stride=stride, padding=1,
                              fuse_relu=True, out_site=f"{site}.conv2")
                 z = ctx.conv(f"{site}.conv2", z, stride=1, padding=1, out_site=nxt)
-            down = f"{site}.down"
             if nxt is None:
                 from dlq_tpu.quant.model_quant import QAct as _QAct
 

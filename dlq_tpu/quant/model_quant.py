@@ -400,6 +400,33 @@ class FullFusedCtx(FusedDeployCtx):
         return self.dense(name, g)
 
 
+class PallasBlockCtx(FullFusedCtx):
+    """FullFusedCtx + fused Pallas kernels for identity residual blocks.
+
+    Blocks present in ``block_packs`` (built offline by
+    ops/pallas_block.pack_fused_blocks) run as single Pallas kernels —
+    conv chain, requants, int8 residual add and relu in one VMEM pass —
+    instead of the XLA op composition; everything else (strided/downsample
+    blocks, stem, head) falls through to FullFusedCtx. Numerics match up to
+    fp32 reassociation of the folded epilogue scales (see pallas_block.py).
+    """
+
+    def __init__(self, qflat, act_scales, qcfg, block_packs=None):
+        super().__init__(qflat, act_scales, qcfg)
+        self.block_packs = block_packs or {}
+
+    def fused_block(self, site: str, x: QAct, nxt: Optional[str]):
+        """Run `site`'s whole residual block fused if packed; else None."""
+        pack = self.block_packs.get(site)
+        if pack is None or nxt is None:
+            return None
+        from dlq_tpu.ops.pallas_block import (
+            basic_block_fused, bottleneck_block_fused,
+        )
+        fn = bottleneck_block_fused if "w3" in pack else basic_block_fused
+        return QAct(fn(x.q, pack), self.act_scales[nxt])
+
+
 def make_sites_fn(qforward: Callable, cfg) -> Callable:
     """(flat_params, x) -> {site: input activation}, for `calibrate`."""
 
