@@ -27,12 +27,14 @@ from the XLA path is fp32 reassociation in the folded epilogue scales
 (comb/s_out vs comb then /s_out), which can flip values sitting exactly on
 a rounding boundary — measured ~1e-4 of elements, gated in tests.
 
-Mosaic patterns used (all probed green on v5e, tools/probe_block_patterns.py
-probe D): 4D int8 slabs with channels-on-lanes (>=128), unaligned sublane
-slices for conv taps, leading-dim merge reshapes for flat dots, int8
-scratch interchange, int8 4D output blocks. K per dot is widened by
-lane-concatenating the three kw taps (C-grain offsets) so int8 MXU packing
-sees K = 3C.
+Mosaic patterns used (probed green on v5e, tools/probe_block_patterns.py
+probe D + tools/probe_block_variants.py): 4D int8 slabs with
+channels-on-lanes (>=128), unaligned sublane slices for conv taps,
+leading-dim merge reshapes for flat dots, int8 scratch interchange, int8
+4D output blocks. Probed RED and therefore avoided: kw lane-concat for
+K=3C dots (wide_k=True — "unsupported shape cast") and any 64-lane
+interchange (C=64 BasicBlocks are left on XLA; Bottleneck mid-channels
+are zero-padded to 128 in the pack).
 
 Reference analogue: the reference's per-step CUDA BasicBlock drivers
 (`runtime/infer_layer1.cu:201-289`) run conv/bn/relu/add as separate
@@ -55,18 +57,27 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _conv3x3_flat(slab, w3, *, tb, oh, ow, cin, stride_rows=1):
-    """3x3/s1 conv on a [tb, oh+2, >=ow+2, cin] int8 slab region via three
-    K=3*cin flat dots (kw taps lane-concatenated). Returns int32
-    [tb*oh*ow, oc]."""
+def _conv3x3_flat(slab, w3, *, tb, oh, ow, cin, wide_k=True):
+    """3x3/s1 conv on a [tb, oh+2, >=ow+2, cin] int8 slab region. wide_k:
+    three K=3*cin flat dots (kw taps lane-concatenated — better int8 MXU
+    K-packing); else nine K=cin dots (the pallas_conv-proven fallback).
+    w3: [3, 3*cin, oc]. Returns int32 [tb*oh*ow, oc]."""
     rows = tb * oh * ow
     acc = None
     for kh in range(3):
-        a = jnp.concatenate(
-            [slab[:, kh : kh + oh, kw : kw + ow, :] for kw in range(3)],
-            axis=-1,
-        ).reshape(rows, 3 * cin)
-        d = jax.lax.dot(a, w3[kh], preferred_element_type=jnp.int32)
+        if wide_k:
+            a = jnp.concatenate(
+                [slab[:, kh : kh + oh, kw : kw + ow, :] for kw in range(3)],
+                axis=-1,
+            ).reshape(rows, 3 * cin)
+            d = jax.lax.dot(a, w3[kh], preferred_element_type=jnp.int32)
+        else:
+            d = None
+            for kw in range(3):
+                a = slab[:, kh : kh + oh, kw : kw + ow, :].reshape(rows, cin)
+                dd = jax.lax.dot(a, w3[kh, kw * cin : (kw + 1) * cin, :],
+                                 preferred_element_type=jnp.int32)
+                d = dd if d is None else d + dd
         acc = d if acc is None else acc + d
     return acc
 
@@ -76,14 +87,21 @@ def _requant(acc, scale_ref, bias_ref, inv, lo, hi):
     return jnp.clip(jnp.round(y), lo, hi).astype(jnp.int8)
 
 
-def _zero_halo(h4, *, TB, H, W):
-    """Zero the 1-pixel halo ring of a [TB, H+2, W+2, C] tensor: the XLA
-    composition's conv2 sees zero padding there, while the in-kernel conv1
-    computed over the haloed region produces bias/partial-input values."""
-    ii = jax.lax.broadcasted_iota(jnp.int32, h4.shape, 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, h4.shape, 2)
+def _zero_halo(h, *, TB, H, W, flat=True):
+    """Zero the 1-pixel halo ring of the conv1 output: the XLA composition's
+    conv2 sees zero padding there, while the in-kernel conv1 computed over
+    the haloed region produces bias/partial-input values. h: [TB*(H+2)*(W+2),
+    C] flat (flat=True, 2D iota on the row dim) or [TB, H+2, W+2, C]."""
+    if flat:
+        p = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        i = jax.lax.rem(p // (W + 2), H + 2)
+        j = jax.lax.rem(p, W + 2)
+        ok = (i > 0) & (i <= H) & (j > 0) & (j <= W)
+        return jnp.where(ok, h, jnp.zeros_like(h))
+    ii = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, h.shape, 2)
     ok = (ii > 0) & (ii <= H) & (jj > 0) & (jj <= W)
-    return jnp.where(ok, h4, jnp.zeros_like(h4))
+    return jnp.where(ok, h, jnp.zeros_like(h))
 
 
 def _pick_tb(per_image_bytes: int, n: int, cap: int = 8,
@@ -96,16 +114,23 @@ def _pick_tb(per_image_bytes: int, n: int, cap: int = 8,
 
 def _basic_kernel(x_ref, inv_ref, w1_ref, s1_ref, b1_ref,
                   w2_ref, s2_ref, b2_ref, o_ref, h_scr,
-                  *, TB, H, W, C, OC):
+                  *, TB, H, W, C, OC, wide_k, flat_mask):
     """x_ref: [TB, H+4, Wp, C] int8 (spatial pad 2, channels padded >=128).
     inv_ref: SMEM [1,3] = (1/s_mid, 1/s_nxt, s_in/s_nxt)."""
     inv_mid, inv_nxt, rs = inv_ref[0, 0], inv_ref[0, 1], inv_ref[0, 2]
     # conv1 over the haloed region (H+2)x(W+2), relu folded into the clip
-    acc1 = _conv3x3_flat(x_ref, w1_ref, tb=TB, oh=H + 2, ow=W + 2, cin=C)
+    acc1 = _conv3x3_flat(x_ref, w1_ref, tb=TB, oh=H + 2, ow=W + 2, cin=C,
+                         wide_k=wide_k)
     h = _requant(acc1, s1_ref, b1_ref, inv_mid, 0.0, 127.0)
-    h_scr[:] = _zero_halo(h.reshape(TB, H + 2, W + 2, OC), TB=TB, H=H, W=W)
+    if flat_mask:
+        h = _zero_halo(h, TB=TB, H=H, W=W, flat=True)
+        h_scr[:] = h.reshape(TB, H + 2, W + 2, OC)
+    else:
+        h_scr[:] = _zero_halo(h.reshape(TB, H + 2, W + 2, OC),
+                              TB=TB, H=H, W=W, flat=False)
     # conv2 over the valid HxW region
-    acc2 = _conv3x3_flat(h_scr, w2_ref, tb=TB, oh=H, ow=W, cin=OC)
+    acc2 = _conv3x3_flat(h_scr, w2_ref, tb=TB, oh=H, ow=W, cin=OC,
+                         wide_k=wide_k)
     z = (acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:]) * inv_nxt
     z = jnp.clip(jnp.round(z), -127.0, 127.0)
     # requantized identity skip from the slab center (valid channels only)
@@ -115,10 +140,12 @@ def _basic_kernel(x_ref, inv_ref, w1_ref, s1_ref, b1_ref,
     o_ref[:] = out.reshape(TB, H, W, OC)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tb", "interpret", "wide_k",
+                                              "flat_mask"))
 def basic_block_fused(x: jnp.ndarray, pack: Dict[str, jnp.ndarray],
                       tb: Optional[int] = None,
-                      interpret: Optional[bool] = None) -> jnp.ndarray:
+                      interpret: Optional[bool] = None,
+                      wide_k: bool = False, flat_mask: bool = True) -> jnp.ndarray:
     """Identity BasicBlock on int8 activations. x: [N, H, W, C] int8 at the
     conv1 site scale; returns [N, H, W, C] int8 at the next site scale."""
     if interpret is None:
@@ -135,7 +162,8 @@ def basic_block_fused(x: jnp.ndarray, pack: Dict[str, jnp.ndarray],
     while N % tb:
         tb //= 2
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, Wp - W - 2), (0, CP - C)))
-    kernel = functools.partial(_basic_kernel, TB=tb, H=H, W=W, C=CP, OC=OC)
+    kernel = functools.partial(_basic_kernel, TB=tb, H=H, W=W, C=CP, OC=OC,
+                               wide_k=wide_k, flat_mask=flat_mask)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -169,7 +197,7 @@ def basic_block_fused(x: jnp.ndarray, pack: Dict[str, jnp.ndarray],
 def _bottleneck_kernel(x_ref, inv_ref, w1_ref, s1_ref, b1_ref,
                        w2_ref, s2_ref, b2_ref, w3_ref, s3_ref, b3_ref,
                        o_ref, h1_scr,
-                       *, TB, H, W, C4, CM):
+                       *, TB, H, W, C4, CM, wide_k, flat_mask):
     """x_ref: [TB, H+2, Wp, C4] int8 (spatial pad 1 for the 3x3's halo).
     inv_ref: SMEM [1,4] = (1/s2_site, 1/s3_site, 1/s_nxt, s_in/s_nxt)."""
     inv_h1, inv_h2, inv_nxt, rs = (inv_ref[0, 0], inv_ref[0, 1],
@@ -179,9 +207,15 @@ def _bottleneck_kernel(x_ref, inv_ref, w1_ref, s1_ref, b1_ref,
     a = x_ref[:, :, : W + 2, :].reshape(rows1, x_ref.shape[-1])
     acc1 = jax.lax.dot(a, w1_ref[:], preferred_element_type=jnp.int32)
     h1 = _requant(acc1, s1_ref, b1_ref, inv_h1, 0.0, 127.0)
-    h1_scr[:] = _zero_halo(h1.reshape(TB, H + 2, W + 2, CM), TB=TB, H=H, W=W)
+    if flat_mask:
+        h1 = _zero_halo(h1, TB=TB, H=H, W=W, flat=True)
+        h1_scr[:] = h1.reshape(TB, H + 2, W + 2, CM)
+    else:
+        h1_scr[:] = _zero_halo(h1.reshape(TB, H + 2, W + 2, CM),
+                               TB=TB, H=H, W=W, flat=False)
     # conv2 3x3/s1 (CM -> CM) over the valid HxW region, relu
-    acc2 = _conv3x3_flat(h1_scr, w2_ref, tb=TB, oh=H, ow=W, cin=CM)
+    acc2 = _conv3x3_flat(h1_scr, w2_ref, tb=TB, oh=H, ow=W, cin=CM,
+                         wide_k=wide_k)
     h2 = _requant(acc2, s2_ref, b2_ref, inv_h2, 0.0, 127.0)
     # conv3 1x1 (CM -> C4), no relu; fused with the int residual junction
     acc3 = jax.lax.dot(h2, w3_ref[:], preferred_element_type=jnp.int32)
@@ -194,10 +228,13 @@ def _bottleneck_kernel(x_ref, inv_ref, w1_ref, s1_ref, b1_ref,
     o_ref[:] = out.reshape(TB, H, W, OC)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tb", "interpret", "wide_k",
+                                              "flat_mask"))
 def bottleneck_block_fused(x: jnp.ndarray, pack: Dict[str, jnp.ndarray],
                            tb: Optional[int] = None,
-                           interpret: Optional[bool] = None) -> jnp.ndarray:
+                           interpret: Optional[bool] = None,
+                           wide_k: bool = False,
+                           flat_mask: bool = True) -> jnp.ndarray:
     """Identity Bottleneck on int8 activations. x: [N, H, W, C4] int8 at the
     conv1 site scale; returns [N, H, W, C4] int8 at the next site scale."""
     if interpret is None:
@@ -215,7 +252,8 @@ def bottleneck_block_fused(x: jnp.ndarray, pack: Dict[str, jnp.ndarray],
         tb //= 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wp - W - 1), (0, C4P - C4)))
     kernel = functools.partial(_bottleneck_kernel, TB=tb, H=H, W=W,
-                               C4=C4P, CM=CM)
+                               C4=C4P, CM=CM, wide_k=wide_k,
+                               flat_mask=flat_mask)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -315,6 +353,11 @@ def pack_fused_blocks(qflat, act_scales, cfg) -> Dict[str, Dict[str, jnp.ndarray
             if cfg.bottleneck:
                 packs[site] = pack_bottleneck_block(qflat, act_scales, site, nxt)
             else:
+                if qflat[f"{site}.conv1"]["qw"].layout_shape[2] < 128:
+                    # Mosaic rejects 64-lane int8 interchange ("shape cast",
+                    # tools/probe_block_variants.py); internal 128-padding
+                    # would 4x the compute — layer1-class blocks stay on XLA
+                    continue
                 packs[site] = pack_basic_block(qflat, act_scales, site, nxt)
     return packs
 
@@ -327,6 +370,12 @@ def pack_bottleneck_block(qflat, act_scales, site: str, nxt: str
     w3, comb3, b3 = _site(qflat, act_scales, f"{site}.conv3")   # [1,1,CM,C4]
     C4, CM = w1.shape[2], w1.shape[3]
     C4P = max(C4, 128)
+    # Mosaic rejects 64-lane int8 interchange; pad the mid width to >=128
+    # with zero weight columns + zero scales/bias (zeros self-propagate
+    # through relu/requant and the padded w3 rows contribute nothing)
+    CMP = max(CM, 128)
+    padc = lambda v: jnp.pad(v, ((0, 0), (0, CMP - CM)))
+    w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, 0), (0, CMP - CM)))
     s_in = float(act_scales[f"{site}.conv1"])
     inv = jnp.asarray([[1.0 / float(act_scales[f"{site}.conv2"]),
                         1.0 / float(act_scales[f"{site}.conv3"]),
@@ -334,8 +383,9 @@ def pack_bottleneck_block(qflat, act_scales, site: str, nxt: str
                         s_in / float(act_scales[nxt])]], jnp.float32)
     return {
         "inv": inv,
-        "w1": jnp.pad(w1.reshape(C4, CM), ((0, C4P - C4), (0, 0))),
-        "s1": comb1, "b1": b1,
-        "w2": _regroup_kw(w2, CM), "s2": comb2, "b2": b2,
-        "w3": w3.reshape(CM, C4), "s3": comb3, "b3": b3,
+        "w1": jnp.pad(w1.reshape(C4, CM), ((0, C4P - C4), (0, CMP - CM))),
+        "s1": padc(comb1), "b1": padc(b1),
+        "w2": _regroup_kw(w2p, CMP), "s2": padc(comb2), "b2": padc(b2),
+        "w3": jnp.pad(w3.reshape(CM, C4), ((0, CMP - CM), (0, 0))),
+        "s3": comb3, "b3": b3,
     }

@@ -34,6 +34,31 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def vit_pads(cfg, tight: bool = False):
+    """(Np, Dp) padding for the fused block kernels.
+
+    Default (conservative): both rounded up to lane multiples of 128 —
+    DeiT-Ti pays (256/197)^2 on attention and 256/192 on every matmul dim.
+    tight=True: tokens live on SUBLANES in the [rows, Dp] layout, so Np only
+    needs the sublane granule (8) -> 200; Dp needs head-offset (hd) and
+    64-grain lane slicing -> 192 for DeiT-Ti. Cuts padded FLOPs ~35%.
+    Both variants are numerically identical (pad lanes/rows are zero and
+    masked); tight relies on non-128-multiple lane dims compiling, which
+    tools/probe_vit_tight.py verifies on the backend.
+    """
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    if tight:
+        Np = _cdiv(max(N, 8), 8) * 8
+        gr = hd if hd % 64 == 0 else _cdiv(hd, 64) * 64
+        Dp = _cdiv(max(D, 128), gr) * gr
+    else:
+        Np = _cdiv(max(N, 128), 128) * 128
+        Dp = _cdiv(max(D, 128), 128) * 128
+    assert Dp % hd == 0, (Dp, hd)
+    return Np, Dp
+
+
 def _ln_f32(x, g, b, d_valid, eps=1e-6):
     """LN over Dp lanes, exact over the d_valid prefix (pad lanes are zero
     on entry and zero on exit because g/b are zero-padded)."""
@@ -261,17 +286,18 @@ def vit_block_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
 # offline packing + full forward
 # ---------------------------------------------------------------------------
 
-def pack_vit_blocks(params: Dict[str, Any], cfg) -> Dict[str, Any]:
+def pack_vit_blocks(params: Dict[str, Any], cfg, tight: bool = False
+                    ) -> Dict[str, Any]:
     """Pad/pack fp32 ViT params (models/vit.init_vit layout) for the fused
     block kernel: D -> Dp (lane/hd aligned), QKV columns [q|k|v] each Dp wide
     with heads at hd offsets, zero-padded everywhere so pad lanes
-    self-propagate as zeros. Returns a pytree of device arrays (bf16)."""
+    self-propagate as zeros. Returns a pytree of device arrays (bf16).
+    tight=True uses the minimal pads from vit_pads (DeiT-Ti: Np 200, Dp 192
+    instead of 256/256 — ~35% fewer padded FLOPs)."""
     D = cfg.dim
     hd = D // cfg.heads
-    Dp = _cdiv(max(D, 128), 128) * 128
-    assert Dp % hd == 0, (Dp, hd)
+    Np, Dp = vit_pads(cfg, tight)
     N = cfg.seq_len
-    Np = _cdiv(max(N, 128), 128) * 128
     H = cfg.mlp_ratio * D
     Hp = _cdiv(H, 128) * 128
 
@@ -318,18 +344,18 @@ def pack_vit_blocks(params: Dict[str, Any], cfg) -> Dict[str, Any]:
 
 
 def pack_vit_blocks_w8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
-                       extras: Dict[str, Any], cfg) -> Dict[str, Any]:
+                       extras: Dict[str, Any], cfg, tight: bool = False
+                       ) -> Dict[str, Any]:
     """Pack an INT8-quantized ViT (quant.model_quant layout: flatten_vit
     sites + vit_extras) for the W8A8 fused block kernel. Weights stay int8;
     per-channel weight scales fold with the calibrated static activation
-    scales into one fp32 row per matmul."""
+    scales into one fp32 row per matmul. tight: see pack_vit_blocks."""
     from dlq_tpu.quant.quantize import dequantize
 
     D = cfg.dim
     hd = D // cfg.heads
-    Dp = _cdiv(max(D, 128), 128) * 128
+    Np, Dp = vit_pads(cfg, tight)
     N = cfg.seq_len
-    Np = _cdiv(max(N, 128), 128) * 128
     H = cfg.mlp_ratio * D
     Hp = _cdiv(H, 128) * 128
 
@@ -402,14 +428,15 @@ def pack_vit_blocks_w8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
 
 def vit_forward_blockfused_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                               bt: int = 8, gelu_tanh: bool = True,
+                              tight: bool = False,
                               interpret: bool | None = None) -> jnp.ndarray:
-    """Quantized (W8A8) fused-block forward — the ViT int8 deploy path."""
+    """Quantized (W8A8) fused-block forward — the ViT int8 deploy path.
+    `tight` must match the pack_vit_blocks_w8 call that built `packed`."""
     from dlq_tpu.models.vit import layernorm, patchify
 
     N, D = cfg.seq_len, cfg.dim
     hd = D // cfg.heads
-    Np = _cdiv(max(N, 128), 128) * 128
-    Dp = _cdiv(max(D, 128), 128) * 128
+    Np, Dp = vit_pads(cfg, tight)
     B = x.shape[0]
     y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -428,6 +455,7 @@ def vit_forward_blockfused_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
 
 def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                            bt: int = 4, gelu_tanh: bool = True,
+                           tight: bool = False,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Full DeiT/ViT forward on the fused block kernel (bf16 deploy path).
 
@@ -440,8 +468,7 @@ def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     # would be traced if read from the pytree under jit)
     N, D = cfg.seq_len, cfg.dim
     hd = D // cfg.heads
-    Np = _cdiv(max(N, 128), 128) * 128
-    Dp = _cdiv(max(D, 128), 128) * 128
+    Np, Dp = vit_pads(cfg, tight)
     B = x.shape[0]
     y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)

@@ -411,9 +411,11 @@ class PallasBlockCtx(FullFusedCtx):
     fp32 reassociation of the folded epilogue scales (see pallas_block.py).
     """
 
-    def __init__(self, qflat, act_scales, qcfg, block_packs=None):
+    def __init__(self, qflat, act_scales, qcfg, block_packs=None,
+                 kernel_opts=None):
         super().__init__(qflat, act_scales, qcfg)
         self.block_packs = block_packs or {}
+        self.kernel_opts = kernel_opts or {}
 
     def fused_block(self, site: str, x: QAct, nxt: Optional[str]):
         """Run `site`'s whole residual block fused if packed; else None."""
@@ -424,7 +426,7 @@ class PallasBlockCtx(FullFusedCtx):
             basic_block_fused, bottleneck_block_fused,
         )
         fn = bottleneck_block_fused if "w3" in pack else basic_block_fused
-        return QAct(fn(x.q, pack), self.act_scales[nxt])
+        return QAct(fn(x.q, pack, **self.kernel_opts), self.act_scales[nxt])
 
 
 def make_sites_fn(qforward: Callable, cfg) -> Callable:

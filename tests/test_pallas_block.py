@@ -120,6 +120,13 @@ def test_pack_fused_blocks_site_selection():
     cfg = ResNetConfig(depth=18, num_classes=10, small_input=True)
     qflat, scales, qcfg, x = _quantize(cfg, key=4, batch=2, size=16)
     packs = pack_fused_blocks(qflat, scales, cfg)
-    # resnet18: l1.0, l1.1 identity; l2/3/4 block 1 identity; l4.1 junction
-    # is the fp32 tail (nxt=None) -> excluded
-    assert set(packs) == {"layer1.0", "layer1.1", "layer2.1", "layer3.1"}
+    # resnet18: layer1 (C=64) excluded (64-lane interchange unsupported on
+    # the backend); l2.1/l3.1 identity; l4.1 junction is the fp32 tail
+    # (nxt=None) -> excluded
+    assert set(packs) == {"layer2.1", "layer3.1"}
+    cfg50 = ResNetConfig(depth=50, num_classes=10, small_input=True)
+    qflat50, scales50, _, _ = _quantize(cfg50, key=4, batch=2, size=16)
+    packs50 = pack_fused_blocks(qflat50, scales50, cfg50)
+    assert len(packs50) == 11  # 12 identity bottlenecks minus the l4 tail
+    # bottleneck mid-width padded to >=128 (l1 CM=64 -> 128)
+    assert packs50["layer1.1"]["w2"].shape == (3, 3 * 128, 128)
