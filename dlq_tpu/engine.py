@@ -175,10 +175,13 @@ class Engine:
                     pack_vit_blocks_w8, vit_forward_blockfused_w8,
                 )
 
-                packed = pack_vit_blocks_w8(qflat, act_scales, ex, cfg)
+                # tight pads (Np 200 / Dp 192 for DeiT-Ti): +13% on v5e,
+                # bit-exact vs loose (tools/probe_vit_tight.py)
+                packed = pack_vit_blocks_w8(qflat, act_scales, ex, cfg,
+                                            tight=True)
 
                 def fwd_block(p, x):
-                    return vit_forward_blockfused_w8(p, x, cfg)
+                    return vit_forward_blockfused_w8(p, x, cfg, tight=True)
 
                 eng = Engine(fwd_block, packed, name=f"{model}_block", **kw)
                 eng.qcfg = qcfg

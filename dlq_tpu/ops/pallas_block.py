@@ -40,6 +40,16 @@ Reference analogue: the reference's per-step CUDA BasicBlock drivers
 (`runtime/infer_layer1.cu:201-289`) run conv/bn/relu/add as separate
 kernels with device-wide syncs; this is the TPU-native inversion: one
 fused kernel per block.
+
+STATUS (v5e, measured — tools/bench_block_fused.py): correct (top-1
+agreement 1.0, cosine >0.9999 vs FullFusedCtx) but SLOWER at model level
+(resnet18 9.4 vs 5.4 ms/b256, resnet50 20.6 vs 7.1 ms/b128). Root cause is
+the same ceiling pallas_conv hit: with the wide-K dot form rejected by
+Mosaic, the per-tap K=C int8 dots + the 9 slab-slice relayouts per conv run
+the MXU far below XLA's 93-95% conv efficiency, and that loss outweighs the
+saved interchange traffic. XLA's FullFusedCtx composition remains the
+production ResNet path; these kernels are kept as the working substrate for
+a future Mosaic that accepts the K=3C concat (wide_k=True).
 """
 
 from __future__ import annotations

@@ -101,7 +101,7 @@ def test_bottleneck_block_matches_composition():
     assert agree >= 0.999, agree
 
 
-@pytest.mark.parametrize("depth", [18, 50])
+@pytest.mark.parametrize("depth", [18, 34, 50])
 def test_model_level_pallas_block_ctx(depth):
     """qforward_fused2 under PallasBlockCtx routes identity blocks through
     the fused kernels and matches the FullFusedCtx model end to end."""
