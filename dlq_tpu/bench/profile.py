@@ -8,9 +8,23 @@ per-op device timeline, viewable in TensorBoard/xprof).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+import contextlib
+from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
+
+
+@contextlib.contextmanager
+def trace_capture(logdir: str) -> Iterator[str]:
+    """Capture a jax.profiler device trace into `logdir` (TensorBoard/xprof
+    format) — the TPU-native replacement for the reference's per-kernel
+    cudaEvent stream (`utils.hpp:85-92`). Validated on the axon relay by
+    tools/bench_misc_sweep.profiler_trace_smoke."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
 
 
 def cost_analysis(fn: Callable, *args, **kw) -> Dict[str, float]:
