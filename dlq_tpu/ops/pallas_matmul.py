@@ -201,16 +201,20 @@ def int4_matmul(
     bias: Optional[jnp.ndarray] = None,
     group: int = 128,
     fuse_relu: bool = False,
-    tm: int = 256,
-    tn: int = 512,
+    tm: int = 2048,
+    tn: int = 256,
     tk: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Weight-only int4 GEMM: weights live packed in HBM (4 bits/value +
     fp32 scale per 128-group), unpacked + dequantized in-register.
 
-    Measured 109 TFLOPS (56% of the v5e bf16 peak — the ceiling for a
-    bf16-MXU weight-only kernel) at 4096^3 with the split-dot unpack."""
+    The in-register unpack (widen/shift/sign-extend/scale on the VPU) runs
+    once per (M-tile, weight-tile), so large tm amortizes it: tm=256
+    measured 109 TFLOPS (56% of v5e bf16 peak) at 4096^3; tm=2048 + bf16
+    activations cut the redundant unpasses 8x (see BENCH_NOTES for the
+    measured number). Activations are cast to bf16 once outside the kernel
+    (the MXU runs bf16 anyway; halves x VMEM/DMA)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     M, K = x.shape
@@ -233,7 +237,7 @@ def int4_matmul(
     bias2 = bias.astype(jnp.float32).reshape(1, N)
     # de-interleave activation columns once (matches the nibble packing):
     # x_even pairs with low nibbles (rows 2r), x_odd with high (rows 2r+1)
-    x3 = x.reshape(M, Kh, 2)
+    x3 = x.astype(jnp.bfloat16).reshape(M, Kh, 2)
     xe = x3[:, :, 0]
     xo = x3[:, :, 1]
 
