@@ -71,6 +71,23 @@ def test_blockfused_w8_matches_fp32(tiny):
     assert numerics.top1_agreement(out, ref) == 1.0
 
 
+def test_blockfused_tight_pads_match_loose(tiny):
+    """tight pads (sublane-granule Np, hd-grain Dp) are numerically the
+    same model as the 128-multiple pads (measured +13% W8A8 on v5e)."""
+    from dlq_tpu.ops.pallas_vit_block import vit_pads
+
+    cfg, params, x = tiny
+    Np, Dp = vit_pads(cfg, tight=True)
+    assert Np % 8 == 0 and Dp % (cfg.dim // cfg.heads) == 0
+    assert (Np, Dp) <= vit_pads(cfg, tight=False)
+    ref = np.asarray(vit_forward_blockfused(
+        pack_vit_blocks(params, cfg), x, cfg))
+    out = np.asarray(vit_forward_blockfused(
+        pack_vit_blocks(params, cfg, tight=True), x, cfg, tight=True))
+    assert numerics.diff(out, ref).cosine > 0.9999
+    assert numerics.top1_agreement(out, ref) == 1.0
+
+
 def test_pack_shapes_padded(tiny):
     cfg, params, _ = tiny
     packed = pack_vit_blocks(params, cfg)
