@@ -201,8 +201,8 @@ def int4_matmul(
     bias: Optional[jnp.ndarray] = None,
     group: int = 128,
     fuse_relu: bool = False,
-    tm: int = 2048,
-    tn: int = 256,
+    tm: int = 1024,
+    tn: int = 512,
     tk: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -211,10 +211,11 @@ def int4_matmul(
 
     The in-register unpack (widen/shift/sign-extend/scale on the VPU) runs
     once per (M-tile, weight-tile), so large tm amortizes it: tm=256
-    measured 109 TFLOPS (56% of v5e bf16 peak) at 4096^3; tm=2048 + bf16
-    activations cut the redundant unpasses 8x (see BENCH_NOTES for the
-    measured number). Activations are cast to bf16 once outside the kernel
-    (the MXU runs bf16 anyway; halves x VMEM/DMA)."""
+    measured 112 TFLOPS (57% of v5e bf16 peak) at 4096^3; tm=1024 + bf16
+    activations measure 126 TFLOPS (64%). tm=2048 fails the Mosaic compile
+    (VMEM); tools/bench_followup.py has the sweep. Activations are cast to
+    bf16 once outside the kernel (the MXU runs bf16 anyway; halves x
+    VMEM/DMA)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     M, K = x.shape
