@@ -97,6 +97,38 @@ def _mhsa_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd, n_valid):
             ).astype(jnp.bfloat16)
 
 
+def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
+                               n_valid):
+    """Batched-attention variant: one 3D batched dot_general per head for
+    scores and one for AV (2*heads dots per grid step instead of
+    2*heads*Bt small serial ones — the serial issue overhead dominated the
+    loop form; patterns probed by tools/probe_batched_dot.py)."""
+    scale = 1.0 / float(hd) ** 0.5
+    q3 = qkv.reshape(Bt, Np, 3 * Dp)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, Np, Np), 2)
+    if heads * hd < Dp:
+        attn_scr[:, heads * hd :] = jnp.zeros_like(attn_scr[:, heads * hd :])
+    for h in range(heads):
+        c0 = h * hd
+        qh = q3[:, :, c0 : c0 + hd]
+        kh = q3[:, :, Dp + c0 : Dp + c0 + hd]
+        vh = q3[:, :, 2 * Dp + c0 : 2 * Dp + c0 + hd]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if n_valid != Np:
+            s = jnp.where(col < n_valid, s, -1e30)
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - m)
+        attn = (p / jnp.sum(p, -1, keepdims=True)).astype(jnp.bfloat16)
+        av = jax.lax.dot_general(
+            attn, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn_scr[:, c0 : c0 + hd] = av.reshape(Bt * Np, hd).astype(jnp.bfloat16)
+
+
 def _gelu_f32(f, tanh_approx: bool):
     if tanh_approx:
         c = 0.7978845608028654  # sqrt(2/pi)
@@ -111,7 +143,7 @@ def _quant_i8(x, inv_scale):
 def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   ln1_ref, ln2_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
                   o_ref, attn_scr,
-                  *, n_valid, d_valid, heads, hd, gelu_tanh):
+                  *, n_valid, d_valid, heads, hd, gelu_tanh, batched_attn):
     Bt, Np, Dp = y_ref.shape
     rows = Bt * Np
     x = y_ref[:].reshape(rows, Dp)
@@ -123,8 +155,9 @@ def _block_kernel(y_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     qkv = jax.lax.dot(h1, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
 
-    _mhsa_into_scratch(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads,
-                       hd=hd, n_valid=n_valid)
+    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+         n_valid=n_valid)
 
     a = jax.lax.dot(attn_scr[:], wproj_ref[:], preferred_element_type=jnp.float32)
     a = a + bproj_ref[:].astype(jnp.float32)
@@ -147,7 +180,7 @@ def _block_kernel_w8(y_ref, inv_ref,
                      wfc1_ref, sfc1_ref, bfc1_ref,
                      wfc2_ref, sfc2_ref, bfc2_ref,
                      o_ref, attn_scr,
-                     *, n_valid, d_valid, heads, hd, gelu_tanh):
+                     *, n_valid, d_valid, heads, hd, gelu_tanh, batched_attn):
     """W8A8 variant: weights resident int8 (per-channel scales folded with the
     calibrated static activation scales into s*_ref rows), activations
     quantized in-register at each matmul site, int8xint8->int32 on the MXU.
@@ -164,8 +197,9 @@ def _block_kernel_w8(y_ref, inv_ref,
                       preferred_element_type=jnp.int32)
     qkv = (acc.astype(jnp.float32) * sqkv_ref[:] + bqkv_ref[:]).astype(jnp.bfloat16)
 
-    _mhsa_into_scratch(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads,
-                       hd=hd, n_valid=n_valid)
+    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+         n_valid=n_valid)
 
     acc = jax.lax.dot(_quant_i8(attn_scr[:].astype(jnp.float32), inv_ref[0, 1]),
                       wproj_ref[:], preferred_element_type=jnp.int32)
@@ -185,10 +219,12 @@ def _block_kernel_w8(y_ref, inv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "interpret"))
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
+    "interpret"))
 def vit_block_fused(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
                     n_valid: int, d_valid: int, heads: int, hd: int,
                     bt: int = 4, gelu_tanh: bool = True,
+                    batched_attn: bool = True,
                     interpret: bool | None = None) -> jnp.ndarray:
     """One transformer block on the padded residual stream y [B, Np, Dp]."""
     if interpret is None:
@@ -199,7 +235,7 @@ def vit_block_fused(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
     H = w["wfc1"].shape[-1]
     kernel = functools.partial(
         _block_kernel, n_valid=n_valid, d_valid=d_valid,
-        heads=heads, hd=hd, gelu_tanh=gelu_tanh,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -233,10 +269,12 @@ def vit_block_fused(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "interpret"))
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
+    "interpret"))
 def vit_block_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
                        n_valid: int, d_valid: int, heads: int, hd: int,
                        bt: int = 8, gelu_tanh: bool = True,
+                       batched_attn: bool = True,
                        interpret: bool | None = None) -> jnp.ndarray:
     """W8A8 fused transformer block (weights int8-resident in HBM)."""
     if interpret is None:
@@ -247,7 +285,7 @@ def vit_block_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
     H = w["wfc1"].shape[-1]
     kernel = functools.partial(
         _block_kernel_w8, n_valid=n_valid, d_valid=d_valid,
-        heads=heads, hd=hd, gelu_tanh=gelu_tanh,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
