@@ -88,6 +88,35 @@ def test_blockfused_tight_pads_match_loose(tiny):
     assert numerics.top1_agreement(out, ref) == 1.0
 
 
+def test_multiblock_w8_matches_single(tiny):
+    """Stacked multi-layer W8A8 kernel == the per-layer kernel chain (L=1
+    bit-exact; L>1 only skips the inter-layer bf16 round-trip)."""
+    from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w8, vit_forward_blockfused_w8,
+        vit_forward_multiblock_w8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+    cfg, params, x = tiny
+    flat = flatten_vit(params)
+    qf = make_qforward(vit_extras(params), cfg.depth, cfg.heads, cfg.patch,
+                       cfg.dim)
+    scales = calibrate(make_sites_fn(qf, cfg), flat, [x], INT8_PER_CHANNEL)
+    packed = pack_vit_blocks_w8(quantize_weights(flat, INT8_PER_CHANNEL),
+                                scales, vit_extras(params), cfg, tight=True)
+    ref = np.asarray(vit_forward_blockfused_w8(packed, x, cfg, tight=True))
+    out1 = np.asarray(vit_forward_multiblock_w8(packed, x, cfg,
+                                                layers_per_kernel=1))
+    np.testing.assert_array_equal(out1, ref)
+    out2 = np.asarray(vit_forward_multiblock_w8(packed, x, cfg,
+                                                layers_per_kernel=cfg.depth))
+    assert numerics.diff(out2, ref).cosine > 0.999
+    assert numerics.top1_agreement(out2, ref) == 1.0
+
+
 def test_pack_shapes_padded(tiny):
     cfg, params, _ = tiny
     packed = pack_vit_blocks(params, cfg)
