@@ -175,13 +175,23 @@ class Engine:
                     pack_vit_blocks_w8, vit_forward_blockfused_w8,
                 )
 
-                # tight pads (Np 200 / Dp 192 for DeiT-Ti): +13% on v5e,
-                # bit-exact vs loose (tools/probe_vit_tight.py)
+                # deploy recipe (v5e-measured): tight pads (Np 200 / Dp 192,
+                # +13%, bit-exact), batched 3D-dot attention (+7%,
+                # bit-identical), 6-layer stacked kernels with the residual
+                # stream VMEM-resident across the chunk (+4%, closer to the
+                # fp32 oracle than per-layer bf16 round-trips)
+                from dlq_tpu.ops.pallas_vit_block import (
+                    stack_vit_blocks_w8, vit_forward_multiblock_w8,
+                )
+
                 packed = pack_vit_blocks_w8(qflat, act_scales, ex, cfg,
                                             tight=True)
+                lpk = 6 if cfg.depth % 6 == 0 else 1
+                packed["_chunks"] = stack_vit_blocks_w8(packed, lpk)
 
                 def fwd_block(p, x):
-                    return vit_forward_blockfused_w8(p, x, cfg, tight=True)
+                    return vit_forward_multiblock_w8(p, x, cfg, bt=4,
+                                                     tight=True)
 
                 eng = Engine(fwd_block, packed, name=f"{model}_block", **kw)
                 eng.qcfg = qcfg
