@@ -129,6 +129,48 @@ def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
         attn_scr[:, c0 : c0 + hd] = av.reshape(Bt * Np, hd).astype(jnp.bfloat16)
 
 
+def _mhsa_batched_i8_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
+                                  n_valid):
+    """Dynamically-quantized int8 attention: per-(sample, head) amax scales
+    computed in-kernel (no extra calibration sites), scores and AV run as
+    int8 batched dots on the MXU's 2x int8 rate. Softmax probabilities are
+    in [0,1] so their scale is statically 1/127."""
+    scale = 1.0 / float(hd) ** 0.5
+    q3 = qkv.reshape(Bt, Np, 3 * Dp)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, Np, Np), 2)
+    if heads * hd < Dp:
+        attn_scr[:, heads * hd :] = jnp.zeros_like(attn_scr[:, heads * hd :])
+
+    def dyn_q(a):
+        amax = jnp.max(jnp.abs(a), axis=(1, 2), keepdims=True) + 1e-9
+        q = jnp.clip(jnp.round(a * (127.0 / amax)), -127, 127).astype(jnp.int8)
+        return q, amax
+
+    for h in range(heads):
+        c0 = h * hd
+        qh = q3[:, :, c0 : c0 + hd].astype(jnp.float32)
+        kh = q3[:, :, Dp + c0 : Dp + c0 + hd].astype(jnp.float32)
+        vh = q3[:, :, 2 * Dp + c0 : 2 * Dp + c0 + hd].astype(jnp.float32)
+        q8, aq = dyn_q(qh)
+        k8, ak = dyn_q(kh)
+        v8, av_s = dyn_q(vh)
+        s = jax.lax.dot_general(
+            q8, k8, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (aq * ak * (scale / (127.0 * 127.0)))
+        if n_valid != Np:
+            s = jnp.where(col < n_valid, s, -1e30)
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp(s - m)
+        attn = p / jnp.sum(p, -1, keepdims=True)
+        a8 = jnp.clip(jnp.round(attn * 127.0), 0, 127).astype(jnp.int8)
+        av = jax.lax.dot_general(
+            a8, v8, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (av_s / (127.0 * 127.0))
+        attn_scr[:, c0 : c0 + hd] = av.reshape(Bt * Np, hd).astype(jnp.bfloat16)
+
+
 def _gelu_f32(f, tanh_approx: bool):
     if tanh_approx:
         c = 0.7978845608028654  # sqrt(2/pi)
@@ -275,7 +317,7 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
                           wfc2_ref, sfc2_ref, bfc2_ref,
                           o_ref, attn_scr,
                           *, L, n_valid, d_valid, heads, hd, gelu_tanh,
-                          batched_attn):
+                          batched_attn, attn_int8):
     """L stacked W8A8 transformer layers per kernel: the residual stream
     stays in VMEM (fp32) across the whole chunk — one HBM round-trip per
     (chunk, batch-group) instead of per layer, and 1/L the per-step fixed
@@ -285,7 +327,10 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
     Bt, Np, Dp = y_ref.shape
     rows = Bt * Np
     xf = y_ref[:].reshape(rows, Dp).astype(jnp.float32)
-    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    if attn_int8:
+        mhsa = _mhsa_batched_i8_into_scratch
+    else:
+        mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
     for l in range(L):
         ln = ln_ref[l].astype(jnp.float32)   # [4, Dp] = ln1 g,b / ln2 g,b
         h1 = _ln_f32(xf, ln[0:1], ln[1:2], d_valid)
@@ -333,11 +378,12 @@ def stack_vit_blocks_w8(packed: Dict[str, Any], layers_per_kernel: int
 
 @functools.partial(jax.jit, static_argnames=(
     "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
-    "interpret"))
+    "attn_int8", "interpret"))
 def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
                             n_valid: int, d_valid: int, heads: int, hd: int,
                             bt: int = 8, gelu_tanh: bool = True,
                             batched_attn: bool = True,
+                            attn_int8: bool = False,
                             interpret: bool | None = None) -> jnp.ndarray:
     """One stacked chunk (L layers) of W8A8 transformer blocks on the padded
     residual stream y [B, Np, Dp]."""
@@ -351,6 +397,7 @@ def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
     kernel = functools.partial(
         _multiblock_kernel_w8, L=L, n_valid=n_valid, d_valid=d_valid,
         heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
+        attn_int8=attn_int8,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -390,6 +437,7 @@ def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
 def vit_forward_multiblock_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                               layers_per_kernel: int = 12, bt: int = 8,
                               gelu_tanh: bool = True, tight: bool = True,
+                              attn_int8: bool = False,
                               interpret: bool | None = None) -> jnp.ndarray:
     """W8A8 forward on stacked multi-layer kernels (chunks of
     layers_per_kernel). `packed` from pack_vit_blocks_w8(..., tight=...)."""
@@ -411,7 +459,8 @@ def vit_forward_multiblock_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     for w in chunks:
         y = vit_multiblock_fused_w8(y, w, n_valid=N, d_valid=D,
                                     heads=cfg.heads, hd=hd, bt=bt,
-                                    gelu_tanh=gelu_tanh, interpret=interpret)
+                                    gelu_tanh=gelu_tanh, attn_int8=attn_int8,
+                                    interpret=interpret)
     hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
     return jnp.dot(hf, packed["head"]["w"],
                    preferred_element_type=jnp.float32) + packed["head"]["b"]
