@@ -20,7 +20,7 @@ import numpy as np
 
 def main():
     t0 = time.time()
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "384"))  # b384 peak: 48.2k vs b256 47.4k vs b512 46.3k (BENCH_NOTES)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     size = 224
 
