@@ -351,7 +351,10 @@ def qforward_fused2(ctx, x: jnp.ndarray, cfg: ResNetConfig, taps: bool = False,
     if cfg.small_input:
         y = ctx.conv("stem", x, stride=1, padding=1, fuse_relu=True, out_site=first)
     else:
-        if stem_bf16:
+        if x.dtype == jnp.uint8 and hasattr(ctx, "conv_stem_bf16_u8"):
+            # raw-uint8 ingest: preprocessing folded into the stem
+            y = ctx.conv_stem_bf16_u8("stem", x, out_site=first)
+        elif stem_bf16:
             y = ctx.conv_stem_bf16("stem", x, out_site=first)
         elif s2d_stem and x.shape[1] % 2 == 0:
             y = ctx.conv_stem_s2d("stem", x, out_site=first)

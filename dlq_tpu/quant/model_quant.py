@@ -354,6 +354,37 @@ class FullFusedCtx(FusedDeployCtx):
         q = jnp.clip(jnp.round(y / s_out), 0.0, qmax).astype(jnp.int8)  # relu folded
         return QAct(q, s_out)
 
+    def conv_stem_bf16_u8(self, name: str, u8: jnp.ndarray, *, out_site: str,
+                          mean=None, std=None, stride=2, padding=3) -> QAct:
+        """uint8 image ingest with the preprocess fold: the deploy engine
+        takes raw uint8 NHWC (4x less input bandwidth, no separate
+        normalize pass — the reference ran preprocessing as its own NumPy
+        stage, `tools/preprocess_to_bin.py:8-44`). Exact rewrite of
+        normalize+conv:  x_norm = (u - 255*mean) / (255*std), so the
+        per-input-channel 1/(255*std_c) folds into the dequantized bf16
+        stem weights and the -255*mean shift is a fused subtract; zero
+        padding of (u - 255*mean) corresponds exactly to x_norm = 0."""
+        import numpy as _np
+
+        from dlq_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = IMAGENET_MEAN if mean is None else mean
+        std = IMAGENET_STD if std is None else std
+        p = self.qflat[name]
+        w = _deq_weight(p).astype(jnp.float32)
+        inv = (1.0 / (255.0 * _np.asarray(std, _np.float32)))
+        w = (w * jnp.asarray(inv)[None, None, :, None]).astype(jnp.bfloat16)
+        m255 = jnp.asarray(255.0 * _np.asarray(mean, _np.float32), jnp.bfloat16)
+        xb = u8.astype(jnp.bfloat16) - m255
+        y = conv2d(xb, w, stride=stride, padding=padding,
+                   preferred=jnp.float32).astype(jnp.float32)
+        if p.get("b") is not None:
+            y = y + p["b"]
+        qmax = self.qcfg.acts.qmax
+        s_out = self.act_scales[out_site]
+        q = jnp.clip(jnp.round(y / s_out), 0.0, qmax).astype(jnp.int8)  # relu folded
+        return QAct(q, s_out)
+
     def conv_stem_s2d(self, name: str, x: jnp.ndarray, *, out_site: str) -> QAct:
         """The 7x7/s2/p3 stem as an EXACT space-to-depth rewrite: quantize
         the input, s2d(2) it (int8, so the relayout moves 4x fewer bytes
