@@ -145,6 +145,71 @@ def int4_shapes_ok(K: int, N: int, group: int, tn: int = 256, tk: int = 512) -> 
 # W4A16 fused dequant matmul (weight-only int4, group-wise scales)
 # ---------------------------------------------------------------------------
 
+def int4_dequant_halves(w_packed: jnp.ndarray, scales: jnp.ndarray,
+                        group: int = 128):
+    """Unpack packed int4 weights to the two de-interleaved bf16 halves
+    (low-nibble rows 2r, high-nibble rows 2r+1), group scales folded in.
+
+    One XLA elementwise pass, bandwidth-bound. Physically interleaving back
+    to [K, N] would be the pair-row sublane merge Mosaic/XLA relayouts
+    handle badly — the split-contraction form never needs it."""
+    Kh, N = w_packed.shape
+    wp = w_packed.astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    sh = jnp.repeat(scales.astype(jnp.float32), group // 2, axis=0)  # [Kh, N]
+    return ((lo * sh).astype(jnp.bfloat16), (hi * sh).astype(jnp.bfloat16))
+
+
+@functools.partial(jax.jit, static_argnames=("group", "fuse_relu"))
+def int4_matmul_xla2(
+    x: jnp.ndarray,  # [M, K] fp32/bf16
+    w_packed: jnp.ndarray,  # [K//2, N] uint8
+    scales: jnp.ndarray,  # [K//group, N] fp32
+    bias: Optional[jnp.ndarray] = None,
+    group: int = 128,
+    fuse_relu: bool = False,
+) -> jnp.ndarray:
+    """Two-pass W4A16 GEMM: XLA dequant of the packed weights into two bf16
+    halves (transient, bandwidth-bound), then two full-rate bf16 MXU dots
+    (split contraction over even/odd K rows, fp32 accumulation).
+
+    Rationale: the fused kernel's in-register unpack costs ~10 VPU ops per
+    weight element once per M-tile, capping it at 64% of bf16 peak
+    (BENCH_NOTES). When the matmul is compute-bound (large M) it is cheaper
+    to spend one HBM round-trip on a dequantized copy and run the MXU at
+    XLA's 98%-of-peak dot rate. Weights stay int4 in HBM (model residency);
+    the bf16 copy lives only inside this call. For small M (weight-DMA
+    bound) the fused int4_matmul still wins — int4_matmul_auto routes."""
+    M, K = x.shape
+    Kh, N = w_packed.shape
+    assert Kh * 2 == K, (x.shape, w_packed.shape)
+    wlo, whi = int4_dequant_halves(w_packed, scales, group)
+    x3 = x.astype(jnp.bfloat16).reshape(M, Kh, 2)
+    y = jax.lax.dot(x3[:, :, 0], wlo, preferred_element_type=jnp.float32)
+    y = y + jax.lax.dot(x3[:, :, 1], whi, preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if fuse_relu:
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
+                     fuse_relu=False, m_threshold: int = 1024, **kw):
+    """Route W4A16 GEMM by arithmetic intensity: fused in-register-unpack
+    kernel when weight-DMA-bound (small M), two-pass XLA dequant + full-rate
+    bf16 dots when compute-bound (M >= m_threshold, crossover measured by
+    tools/bench_vit_interior.py::int4_variants)."""
+    if x.shape[0] >= m_threshold:
+        return int4_matmul_xla2(x, w_packed, scales, bias, group=group,
+                                fuse_relu=fuse_relu)
+    return int4_matmul_padded(x, w_packed, scales, bias, group=group,
+                              fuse_relu=fuse_relu, **kw)
+
+
 def _int4_mm_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
                     *, n_k, tk, group, fuse_relu):
     k = pl.program_id(2)

@@ -98,16 +98,29 @@ def _mhsa_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd, n_valid):
 
 
 def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
-                               n_valid):
+                               n_valid, sm_mode="exact"):
     """Batched-attention variant: one 3D batched dot_general per head for
     scores and one for AV (2*heads dots per grid step instead of
     2*heads*Bt small serial ones — the serial issue overhead dominated the
-    loop form; patterns probed by tools/probe_batched_dot.py)."""
+    loop form; patterns probed by tools/probe_batched_dot.py).
+
+    sm_mode selects the softmax implementation (ablation/optimization study,
+    tools/bench_vit_interior.py):
+      exact  — max-subtracted softmax with where-mask (default, bit-stable)
+      recip  — exact numerator, denominator applied as reciprocal-multiply
+      nomax  — static shift (clip at 64, shift 32) + multiplicative mask +
+               reciprocal-multiply: drops the per-row max lane-reduction;
+               mathematically identical (softmax is shift-invariant), exact
+               while scores < 64 (calibrated W8A8 scores are O(1..10))
+      linear — no softmax at all (timing ablation only, wrong numerics)
+    """
     scale = 1.0 / float(hd) ** 0.5
     q3 = qkv.reshape(Bt, Np, 3 * Dp)
     col = jax.lax.broadcasted_iota(jnp.int32, (Bt, Np, Np), 2)
     if heads * hd < Dp:
         attn_scr[:, heads * hd :] = jnp.zeros_like(attn_scr[:, heads * hd :])
+    maskf = (col < n_valid).astype(jnp.float32) if (
+        sm_mode == "nomax" and n_valid != Np) else None
     for h in range(heads):
         c0 = h * hd
         qh = q3[:, :, c0 : c0 + hd]
@@ -117,11 +130,24 @@ def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        if n_valid != Np:
-            s = jnp.where(col < n_valid, s, -1e30)
-        m = jnp.max(s, -1, keepdims=True)
-        p = jnp.exp(s - m)
-        attn = (p / jnp.sum(p, -1, keepdims=True)).astype(jnp.bfloat16)
+        if sm_mode == "linear":
+            attn = (s * (1.0 / Np)).astype(jnp.bfloat16)
+        elif sm_mode == "nomax":
+            p = jnp.exp(jnp.minimum(s, 64.0) - 32.0)
+            if maskf is not None:
+                p = p * maskf
+            r = 1.0 / jnp.sum(p, -1, keepdims=True)
+            attn = (p * r).astype(jnp.bfloat16)
+        else:
+            if n_valid != Np:
+                s = jnp.where(col < n_valid, s, -1e30)
+            m = jnp.max(s, -1, keepdims=True)
+            p = jnp.exp(s - m)
+            if sm_mode == "recip":
+                r = 1.0 / jnp.sum(p, -1, keepdims=True)
+                attn = (p * r).astype(jnp.bfloat16)
+            else:
+                attn = (p / jnp.sum(p, -1, keepdims=True)).astype(jnp.bfloat16)
         av = jax.lax.dot_general(
             attn, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -317,13 +343,21 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
                           wfc2_ref, sfc2_ref, bfc2_ref,
                           o_ref, attn_scr,
                           *, L, n_valid, d_valid, heads, hd, gelu_tanh,
-                          batched_attn, attn_int8):
+                          batched_attn, attn_int8, ablate=()):
     """L stacked W8A8 transformer layers per kernel: the residual stream
     stays in VMEM (fp32) across the whole chunk — one HBM round-trip per
     (chunk, batch-group) instead of per layer, and 1/L the per-step fixed
     cost. Weight stacks are leading-dim indexed per layer. Marginally
     BETTER numerics than the 1-layer kernel (no bf16 HBM round-trip of the
-    residual between in-chunk layers)."""
+    residual between in-chunk layers).
+
+    ablate (static tuple; tools/bench_vit_interior.py) isolates the cost of
+    each interior phase by replacing it with a shape-preserving stub —
+    timing-only, wrong numerics: "ln" (identity), "gelu", "quant" (cast
+    without round/clip), "softmax" (linear attn), "attn" (skip MHSA),
+    "epilogue" (skip rescale+bias). "sm_recip"/"sm_nomax" are real
+    optimizations (see _mhsa_batched_into_scratch)."""
+    abl = frozenset(ablate)
     Bt, Np, Dp = y_ref.shape
     rows = Bt * Np
     xf = y_ref[:].reshape(rows, Dp).astype(jnp.float32)
@@ -331,27 +365,46 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
         mhsa = _mhsa_batched_i8_into_scratch
     else:
         mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    sm_mode = "exact"
+    for mode in ("linear", "recip", "nomax"):
+        key = {"linear": "softmax", "recip": "sm_recip", "nomax": "sm_nomax"}[mode]
+        if key in abl:
+            sm_mode = mode
+    if batched_attn and not attn_int8:
+        mhsa = functools.partial(mhsa, sm_mode=sm_mode)
+    ln_fn = (lambda x, g, b, d: x) if "ln" in abl else _ln_f32
+    if "quant" in abl:
+        q_fn = lambda x, inv: (x * inv).astype(jnp.int8)
+    else:
+        q_fn = _quant_i8
+    gelu_fn = (lambda f, t: f) if "gelu" in abl else _gelu_f32
+    if "epilogue" in abl:
+        epi = lambda acc, s, b: acc.astype(jnp.float32)
+    else:
+        epi = lambda acc, s, b: acc.astype(jnp.float32) * s + b
     for l in range(L):
         ln = ln_ref[l].astype(jnp.float32)   # [4, Dp] = ln1 g,b / ln2 g,b
-        h1 = _ln_f32(xf, ln[0:1], ln[1:2], d_valid)
-        acc = jax.lax.dot(_quant_i8(h1, inv_ref[l, 0]), wqkv_ref[l],
+        h1 = ln_fn(xf, ln[0:1], ln[1:2], d_valid)
+        acc = jax.lax.dot(q_fn(h1, inv_ref[l, 0]), wqkv_ref[l],
                           preferred_element_type=jnp.int32)
-        qkv = (acc.astype(jnp.float32) * sqkv_ref[l]
-               + bqkv_ref[l]).astype(jnp.bfloat16)
-        mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
-             n_valid=n_valid)
+        qkv = epi(acc, sqkv_ref[l], bqkv_ref[l]).astype(jnp.bfloat16)
+        if "attn" in abl:
+            attn_scr[:] = qkv[:, :Dp]
+        else:
+            mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+                 n_valid=n_valid)
         acc = jax.lax.dot(
-            _quant_i8(attn_scr[:].astype(jnp.float32), inv_ref[l, 1]),
+            q_fn(attn_scr[:].astype(jnp.float32), inv_ref[l, 1]),
             wproj_ref[l], preferred_element_type=jnp.int32)
-        z1 = xf + acc.astype(jnp.float32) * sproj_ref[l] + bproj_ref[l]
-        h2 = _ln_f32(z1, ln[2:3], ln[3:4], d_valid)
-        acc = jax.lax.dot(_quant_i8(h2, inv_ref[l, 2]), wfc1_ref[l],
+        z1 = xf + epi(acc, sproj_ref[l], bproj_ref[l])
+        h2 = ln_fn(z1, ln[2:3], ln[3:4], d_valid)
+        acc = jax.lax.dot(q_fn(h2, inv_ref[l, 2]), wfc1_ref[l],
                           preferred_element_type=jnp.int32)
-        f = acc.astype(jnp.float32) * sfc1_ref[l] + bfc1_ref[l]
-        f = _gelu_f32(f, gelu_tanh)
-        acc = jax.lax.dot(_quant_i8(f, inv_ref[l, 3]), wfc2_ref[l],
+        f = epi(acc, sfc1_ref[l], bfc1_ref[l])
+        f = gelu_fn(f, gelu_tanh)
+        acc = jax.lax.dot(q_fn(f, inv_ref[l, 3]), wfc2_ref[l],
                           preferred_element_type=jnp.int32)
-        xf = z1 + acc.astype(jnp.float32) * sfc2_ref[l] + bfc2_ref[l]
+        xf = z1 + epi(acc, sfc2_ref[l], bfc2_ref[l])
     o_ref[:] = xf.astype(o_ref.dtype).reshape(Bt, Np, Dp)
 
 
@@ -378,12 +431,13 @@ def stack_vit_blocks_w8(packed: Dict[str, Any], layers_per_kernel: int
 
 @functools.partial(jax.jit, static_argnames=(
     "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
-    "attn_int8", "interpret"))
+    "attn_int8", "ablate", "interpret"))
 def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
                             n_valid: int, d_valid: int, heads: int, hd: int,
                             bt: int = 8, gelu_tanh: bool = True,
                             batched_attn: bool = True,
                             attn_int8: bool = False,
+                            ablate: tuple = (),
                             interpret: bool | None = None) -> jnp.ndarray:
     """One stacked chunk (L layers) of W8A8 transformer blocks on the padded
     residual stream y [B, Np, Dp]."""
@@ -397,7 +451,7 @@ def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
     kernel = functools.partial(
         _multiblock_kernel_w8, L=L, n_valid=n_valid, d_valid=d_valid,
         heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
-        attn_int8=attn_int8,
+        attn_int8=attn_int8, ablate=ablate,
     )
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -437,7 +491,7 @@ def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
 def vit_forward_multiblock_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                               layers_per_kernel: int = 12, bt: int = 8,
                               gelu_tanh: bool = True, tight: bool = True,
-                              attn_int8: bool = False,
+                              attn_int8: bool = False, ablate: tuple = (),
                               interpret: bool | None = None) -> jnp.ndarray:
     """W8A8 forward on stacked multi-layer kernels (chunks of
     layers_per_kernel). `packed` from pack_vit_blocks_w8(..., tight=...)."""
@@ -460,7 +514,7 @@ def vit_forward_multiblock_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
         y = vit_multiblock_fused_w8(y, w, n_valid=N, d_valid=D,
                                     heads=cfg.heads, hd=hd, bt=bt,
                                     gelu_tanh=gelu_tanh, attn_int8=attn_int8,
-                                    interpret=interpret)
+                                    ablate=ablate, interpret=interpret)
     hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
     return jnp.dot(hf, packed["head"]["w"],
                    preferred_element_type=jnp.float32) + packed["head"]["b"]

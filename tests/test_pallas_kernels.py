@@ -72,6 +72,32 @@ def test_int4_matmul_groupwise(data):
     assert rel < 0.01  # bf16 matmul precision
 
 
+def test_int4_matmul_xla2_matches_fused(data):
+    """Two-pass XLA dequant variant must match the fused kernel's numerics
+    (same split contraction, same bf16 scaled weights)."""
+    from dlq_tpu.ops.pallas_matmul import int4_matmul_auto, int4_matmul_xla2
+
+    rng, M, K, N = data
+    q = rng.integers(-8, 8, (K, N)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    g = 128
+    scales = (rng.random((K // g, N)) * 0.05 + 0.01).astype(np.float32)
+    bias = rng.normal(0, 1, N).astype(np.float32)
+    x = rng.normal(0, 1, (M, K)).astype(np.float32)
+    y2 = int4_matmul_xla2(jnp.asarray(x), packed, jnp.asarray(scales),
+                          jnp.asarray(bias), group=g)
+    wf = q.astype(np.float32) * np.repeat(scales, g, axis=0)
+    ref = x @ wf + bias
+    rel = np.abs(np.asarray(y2, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < 0.01  # bf16 matmul precision
+    # routing: small M -> fused kernel, large M -> xla2 (same numerics here)
+    ya = int4_matmul_auto(jnp.asarray(x), packed, jnp.asarray(scales),
+                          jnp.asarray(bias), group=g, m_threshold=M,
+                          interpret=True)
+    rel2 = np.abs(np.asarray(ya, np.float64) - np.asarray(y2, np.float64)).max()
+    assert rel2 / np.abs(ref).max() < 0.01
+
+
 def test_int4_matmul_vs_qdense_oracle(data):
     """Kernel must agree with the XLA weight-only path on the same QTensor."""
     from dlq_tpu.quant import QScheme, quantize_tensor

@@ -117,6 +117,38 @@ def test_multiblock_w8_matches_single(tiny):
     assert numerics.top1_agreement(out2, ref) == 1.0
 
 
+def test_multiblock_softmax_variants(tiny):
+    """Optimization softmax modes: sm_recip must be bit-exact (reciprocal
+    multiply is the same math); sm_nomax (static shift, multiplicative mask)
+    is shift-invariant softmax — near-exact, same top-1."""
+    from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w8, vit_forward_multiblock_w8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+    cfg, params, x = tiny
+    flat = flatten_vit(params)
+    qf = make_qforward(vit_extras(params), cfg.depth, cfg.heads, cfg.patch,
+                       cfg.dim)
+    scales = calibrate(make_sites_fn(qf, cfg), flat, [x], INT8_PER_CHANNEL)
+    packed = pack_vit_blocks_w8(quantize_weights(flat, INT8_PER_CHANNEL),
+                                scales, vit_extras(params), cfg, tight=True)
+    base = np.asarray(vit_forward_multiblock_w8(packed, x, cfg,
+                                                layers_per_kernel=2))
+    recip = np.asarray(vit_forward_multiblock_w8(packed, x, cfg,
+                                                 layers_per_kernel=2,
+                                                 ablate=("sm_recip",)))
+    np.testing.assert_array_equal(recip, base)
+    nomax = np.asarray(vit_forward_multiblock_w8(packed, x, cfg,
+                                                 layers_per_kernel=2,
+                                                 ablate=("sm_nomax",)))
+    assert numerics.diff(nomax, base).cosine > 0.9999
+    assert numerics.top1_agreement(nomax, base) == 1.0
+
+
 def test_pack_shapes_padded(tiny):
     cfg, params, _ = tiny
     packed = pack_vit_blocks(params, cfg)
