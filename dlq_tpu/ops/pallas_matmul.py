@@ -176,13 +176,13 @@ def int4_matmul_xla2(
     halves (transient, bandwidth-bound), then two full-rate bf16 MXU dots
     (split contraction over even/odd K rows, fp32 accumulation).
 
-    Rationale: the fused kernel's in-register unpack costs ~10 VPU ops per
-    weight element once per M-tile, capping it at 64% of bf16 peak
-    (BENCH_NOTES). When the matmul is compute-bound (large M) it is cheaper
-    to spend one HBM round-trip on a dequantized copy and run the MXU at
-    XLA's 98%-of-peak dot rate. Weights stay int4 in HBM (model residency);
-    the bf16 copy lives only inside this call. For small M (weight-DMA
-    bound) the fused int4_matmul still wins — int4_matmul_auto routes."""
+    Measured (v5e, 4096x4096 weight, tools/bench_vit_interior.py): the
+    two-pass wins at SMALL M where the fused kernel's per-M-tile in-register
+    unpack is unamortized (M=256: 122.5 vs 111 TFLOPS-effective), and loses
+    at large M where the transient bf16 copy's extra HBM round-trip costs
+    more than the unpack (M=4096: 115.4 vs 126.4). int4_matmul_auto routes
+    at the measured crossover (~M=512-1024). Weights stay int4 in HBM
+    (model residency); the bf16 copy lives only inside this call."""
     M, K = x.shape
     Kh, N = w_packed.shape
     assert Kh * 2 == K, (x.shape, w_packed.shape)
@@ -198,12 +198,11 @@ def int4_matmul_xla2(
 
 
 def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
-                     fuse_relu=False, m_threshold: int = 1024, **kw):
-    """Route W4A16 GEMM by arithmetic intensity: fused in-register-unpack
-    kernel when weight-DMA-bound (small M), two-pass XLA dequant + full-rate
-    bf16 dots when compute-bound (M >= m_threshold, crossover measured by
-    tools/bench_vit_interior.py::int4_variants)."""
-    if x.shape[0] >= m_threshold:
+                     fuse_relu=False, m_threshold: int = 512, **kw):
+    """Route W4A16 GEMM by M (measured crossover, see int4_matmul_xla2):
+    two-pass XLA dequant below m_threshold (unpack-amortization-bound),
+    fused in-register-unpack kernel at or above it (HBM-traffic-bound)."""
+    if x.shape[0] < m_threshold:
         return int4_matmul_xla2(x, w_packed, scales, bias, group=group,
                                 fuse_relu=fuse_relu)
     return int4_matmul_padded(x, w_packed, scales, bias, group=group,

@@ -69,6 +69,24 @@ def _ln_f32(x, g, b, d_valid, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
+def _ln_mxu_f32(x, g, b, d_valid, eps=1e-6):
+    """LN with the two lane-reductions (sum, sum-of-squares) computed as one
+    MXU dot [rows, Dp] @ [Dp, 2-in-8] instead of VPU shuffle-reduce chains —
+    the moments' FLOPs are trivial on the systolic array and free the VPU for
+    the rest of the in-kernel elementwise chain. Same math as _ln_f32."""
+    Dp = x.shape[-1]
+    inv_n = 1.0 / float(d_valid)
+    # cols 0..3: ones (sum); cols 4..7: unused zeros (8-lane-minimum block)
+    ones = jnp.concatenate(
+        [jnp.ones((Dp, 4), jnp.float32), jnp.zeros((Dp, 4), jnp.float32)], -1)
+    s1 = jax.lax.dot(x, ones, preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot(x * x, ones, preferred_element_type=jnp.float32)
+    mu = s1[:, 0:1] * inv_n
+    m2 = s2[:, 0:1] * inv_n
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
 def _mhsa_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd, n_valid):
     """Per-(sample, head) softmax(QKᵀ/√d)V from the fused qkv value into the
     lane-sliced scratch (head-merge is free: heads live at hd-offsets)."""
@@ -112,6 +130,9 @@ def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
                reciprocal-multiply: drops the per-row max lane-reduction;
                mathematically identical (softmax is shift-invariant), exact
                while scores < 64 (calibrated W8A8 scores are O(1..10))
+      bf16   — scores dot emits bf16 and the whole softmax chain runs in
+               bf16 (halves scores VMEM traffic; wins only if the VPU packs
+               bf16 2x); ~2-digit attention-weight precision
       linear — no softmax at all (timing ablation only, wrong numerics)
     """
     scale = 1.0 / float(hd) ** 0.5
@@ -132,6 +153,15 @@ def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
         ) * scale
         if sm_mode == "linear":
             attn = (s * (1.0 / Np)).astype(jnp.bfloat16)
+        elif sm_mode == "bf16":
+            # Mosaic requires 32-bit matmul accumulation, so convert after
+            # the dot; the max/exp/sum/div chain then runs on bf16 vregs
+            sb = s.astype(jnp.bfloat16)
+            if n_valid != Np:
+                sb = jnp.where(col < n_valid, sb, jnp.bfloat16(-1e30))
+            m = jnp.max(sb, -1, keepdims=True)
+            p = jnp.exp(sb - m)
+            attn = p / jnp.sum(p, -1, keepdims=True)
         elif sm_mode == "nomax":
             p = jnp.exp(jnp.minimum(s, 64.0) - 32.0)
             if maskf is not None:
@@ -366,18 +396,30 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
     else:
         mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
     sm_mode = "exact"
-    for mode in ("linear", "recip", "nomax"):
-        key = {"linear": "softmax", "recip": "sm_recip", "nomax": "sm_nomax"}[mode]
+    for key, mode in (("softmax", "linear"), ("sm_recip", "recip"),
+                      ("sm_nomax", "nomax"), ("sm_bf16", "bf16")):
         if key in abl:
             sm_mode = mode
     if batched_attn and not attn_int8:
         mhsa = functools.partial(mhsa, sm_mode=sm_mode)
-    ln_fn = (lambda x, g, b, d: x) if "ln" in abl else _ln_f32
+    if "ln" in abl:
+        ln_fn = lambda x, g, b, d: x
+    elif "ln_mxu" in abl:
+        ln_fn = _ln_mxu_f32
+    else:
+        ln_fn = _ln_f32
     if "quant" in abl:
         q_fn = lambda x, inv: (x * inv).astype(jnp.int8)
     else:
         q_fn = _quant_i8
-    gelu_fn = (lambda f, t: f) if "gelu" in abl else _gelu_f32
+    if "gelu" in abl:
+        gelu_fn = lambda f, t: f
+    elif "gelu_bf16" in abl:
+        # tanh chain in bf16 (wins only if the VPU packs bf16 2x); the
+        # following quantize re-promotes to f32 at its multiply
+        gelu_fn = lambda f, t: _gelu_f32(f.astype(jnp.bfloat16), t)
+    else:
+        gelu_fn = _gelu_f32
     if "epilogue" in abl:
         epi = lambda acc, s, b: acc.astype(jnp.float32)
     else:
