@@ -185,6 +185,55 @@ def _mhsa_batched_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
         attn_scr[:, c0 : c0 + hd] = av.reshape(Bt * Np, hd).astype(jnp.bfloat16)
 
 
+def _mhsa_headstack_into_scratch(qkv, attn_scr, qs, ks, vs, *, Bt, Np, Dp,
+                                 heads, hd, n_valid):
+    """Head-stacked attention: copy each head's Q/K/V lane-slice into
+    head-major scratches [heads*Bt*Np, 128] (64-grain lane-offset reads +
+    sublane-offset scratch writes — both probed green), then run scores and
+    AV as ONE batched 3D dot each with batch dim heads*Bt — 2 MXU issues
+    per layer-step instead of 2*heads. K zero-pad 64->128 is exact (adding
+    0.0), so this is bit-identical to the per-head batched form; it wins iff
+    the small serial dots were issue/latency-bound (round-1 breakdown:
+    attention dots ~1.73 ms of 6.17)."""
+    scale = 1.0 / float(hd) ** 0.5
+    lanes = qs.shape[-1]
+    HB = heads * Bt
+    rows = Bt * Np
+    if hd < lanes:  # zero the pad lanes once per grid step (persist OK)
+        qs[:, hd:] = jnp.zeros_like(qs[:, hd:])
+        ks[:, hd:] = jnp.zeros_like(ks[:, hd:])
+        vs[:, hd:] = jnp.zeros_like(vs[:, hd:])
+    for h in range(heads):
+        c0 = h * hd
+        r0 = h * rows
+        qs[r0 : r0 + rows, :hd] = qkv[:, c0 : c0 + hd]
+        ks[r0 : r0 + rows, :hd] = qkv[:, Dp + c0 : Dp + c0 + hd]
+        vs[r0 : r0 + rows, :hd] = qkv[:, 2 * Dp + c0 : 2 * Dp + c0 + hd]
+    q4 = qs[:].reshape(HB, Np, lanes)
+    k4 = ks[:].reshape(HB, Np, lanes)
+    v4 = vs[:].reshape(HB, Np, lanes)
+    s = jax.lax.dot_general(
+        q4, k4, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if n_valid != Np:
+        col = jax.lax.broadcasted_iota(jnp.int32, (HB, Np, Np), 2)
+        s = jnp.where(col < n_valid, s, -1e30)
+    m = jnp.max(s, -1, keepdims=True)
+    p = jnp.exp(s - m)
+    attn = (p / jnp.sum(p, -1, keepdims=True)).astype(jnp.bfloat16)
+    av = jax.lax.dot_general(
+        attn, v4, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(HB * Np, lanes)
+    if heads * hd < Dp:
+        attn_scr[:, heads * hd :] = jnp.zeros_like(attn_scr[:, heads * hd :])
+    for h in range(heads):
+        c0 = h * hd
+        r0 = h * rows
+        attn_scr[:, c0 : c0 + hd] = av[r0 : r0 + rows, :hd].astype(jnp.bfloat16)
+
+
 def _mhsa_batched_i8_into_scratch(qkv, attn_scr, *, Bt, Np, Dp, heads, hd,
                                   n_valid):
     """Dynamically-quantized int8 attention: per-(sample, head) amax scales
@@ -371,8 +420,8 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
                           wproj_ref, sproj_ref, bproj_ref, ln_ref,
                           wfc1_ref, sfc1_ref, bfc1_ref,
                           wfc2_ref, sfc2_ref, bfc2_ref,
-                          o_ref, attn_scr,
-                          *, L, n_valid, d_valid, heads, hd, gelu_tanh,
+                          o_ref, attn_scr, *scr,
+                          L, n_valid, d_valid, heads, hd, gelu_tanh,
                           batched_attn, attn_int8, ablate=()):
     """L stacked W8A8 transformer layers per kernel: the residual stream
     stays in VMEM (fp32) across the whole chunk — one HBM round-trip per
@@ -400,7 +449,10 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
                       ("sm_nomax", "nomax"), ("sm_bf16", "bf16")):
         if key in abl:
             sm_mode = mode
-    if batched_attn and not attn_int8:
+    if "attn_headstack" in abl:
+        mhsa = lambda qkv, a_scr, **kw: _mhsa_headstack_into_scratch(
+            qkv, a_scr, scr[0], scr[1], scr[2], **kw)
+    elif batched_attn and not attn_int8:
         mhsa = functools.partial(mhsa, sm_mode=sm_mode)
     if "ln" in abl:
         ln_fn = lambda x, g, b, d: x
@@ -513,7 +565,11 @@ def vit_multiblock_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
         out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
-        scratch_shapes=[pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)],
+        scratch_shapes=(
+            [pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)]
+            + ([pltpu.VMEM((heads * bt * Np, max(hd, 128)), jnp.bfloat16)] * 3
+               if "attn_headstack" in ablate else [])
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -147,6 +147,12 @@ def test_multiblock_softmax_variants(tiny):
                                                  ablate=("sm_nomax",)))
     assert numerics.diff(nomax, base).cosine > 0.9999
     assert numerics.top1_agreement(nomax, base) == 1.0
+    # head-stacked attention (one batched dot per scores/AV over heads*Bt):
+    # K zero-pad is exact, so bit-identical
+    hs = np.asarray(vit_forward_multiblock_w8(packed, x, cfg,
+                                              layers_per_kernel=2,
+                                              ablate=("attn_headstack",)))
+    np.testing.assert_array_equal(hs, base)
 
 
 def test_pack_shapes_padded(tiny):
