@@ -142,6 +142,103 @@ def int4_shapes_ok(K: int, N: int, group: int, tn: int = 256, tk: int = 512) -> 
 
 
 # ---------------------------------------------------------------------------
+# W4A8 fused matmul (int4 weights, int8 activations, per-OC scales)
+# ---------------------------------------------------------------------------
+
+def _int4a8_mm_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref,
+                      acc_ref, *, n_k, fuse_relu):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # split contraction (see _int4_mm_kernel): unpack nibbles to int8 and
+    # run both halves as int8 MXU dots with int32 accumulation — the 2x
+    # int8 rate instead of the W4A16 kernel's bf16 rate
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    acc_ref[:] += jax.lax.dot(xe_ref[:], lo, preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot(xo_ref[:], hi, preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * scale_ref[:]
+        y = y + bias_ref[:]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fuse_relu", "tm", "tn", "tk", "interpret")
+)
+def int4a8_matmul(
+    x: jnp.ndarray,  # [M, K] int8
+    w_packed: jnp.ndarray,  # [K//2, N] uint8 (two nibbles per byte along K)
+    scale: jnp.ndarray,  # [N] fp32 combined (act_scale * w_scale[oc])
+    bias: Optional[jnp.ndarray] = None,
+    fuse_relu: bool = False,
+    tm: int = 512,
+    tn: int = 1024,
+    tk: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """W4A8 GEMM: int4-packed weights (per-OC scales) unpacked to int8
+    in-register, int8 activations, int8xint8->int32 on the MXU. Weights cost
+    4 bits of HBM (half of W8A8) and the dots run at the int8 rate — the
+    in-register unpack is the only overhead vs int8_matmul. Per-OC weight
+    scales only (group-wise would force a per-group fp32 accumulator update,
+    M*N*K/group VPU FMAs — that cost lives in int4_matmul's bf16 path
+    instead)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, K = x.shape
+    Kh, N = w_packed.shape
+    assert Kh * 2 == K, (x.shape, w_packed.shape)
+    assert x.dtype == jnp.int8, x.dtype
+    tm, tn = min(tm, M), min(tn, N)
+    tk = min(tk, K)
+    assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
+    n_k = K // tk
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    scale2 = jnp.broadcast_to(scale.astype(jnp.float32), (N,)).reshape(1, N)
+    bias2 = bias.astype(jnp.float32).reshape(1, N)
+    x3 = x.reshape(M, Kh, 2)
+    xe = x3[:, :, 0]
+    xo = x3[:, :, 1]
+
+    grid = (M // tm, N // tn, n_k)
+    return pl.pallas_call(
+        functools.partial(_int4a8_mm_kernel, n_k=n_k, fuse_relu=fuse_relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk // 2), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + Kh * N + 4 * M * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, w_packed, scale2, bias2)
+
+
+# ---------------------------------------------------------------------------
 # W4A16 fused dequant matmul (weight-only int4, group-wise scales)
 # ---------------------------------------------------------------------------
 
@@ -180,9 +277,10 @@ def int4_matmul_xla2(
     two-pass wins at SMALL M where the fused kernel's per-M-tile in-register
     unpack is unamortized (M=256: 122.5 vs 111 TFLOPS-effective), and loses
     at large M where the transient bf16 copy's extra HBM round-trip costs
-    more than the unpack (M=4096: 115.4 vs 126.4). int4_matmul_auto routes
-    at the measured crossover (~M=512-1024). Weights stay int4 in HBM
-    (model residency); the bf16 copy lives only inside this call."""
+    more than the unpack (M=4096: 115.4 vs 126.4; M=512: 127.2 vs 123.3 —
+    still two-pass). int4_matmul_auto routes at the measured crossover
+    (M=1024). Weights stay int4 in HBM (model residency); the bf16 copy
+    lives only inside this call."""
     M, K = x.shape
     Kh, N = w_packed.shape
     assert Kh * 2 == K, (x.shape, w_packed.shape)
@@ -198,7 +296,7 @@ def int4_matmul_xla2(
 
 
 def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
-                     fuse_relu=False, m_threshold: int = 512, **kw):
+                     fuse_relu=False, m_threshold: int = 1024, **kw):
     """Route W4A16 GEMM by M (measured crossover, see int4_matmul_xla2):
     two-pass XLA dequant below m_threshold (unpack-amortization-bound),
     fused in-register-unpack kernel at or above it (HBM-traffic-bound)."""

@@ -170,7 +170,38 @@ def qdense(
     """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
-    if act_scale is not None and qw.bits == 8:
+    if act_scale is not None and qw.bits == 4 and qw.group is None:
+        # W4A8: int4 per-OC weights on the int8 MXU rate. Pallas kernel when
+        # shapes tile on TPU; otherwise unpack to int8 and fall through to
+        # the int8 dot (same numerics: the unpack is exact).
+        from dlq_tpu.quant.quantize import unpack_int4
+
+        K, N = qw.shape
+        xq = quantize_act(x2, act_scale)
+        scale = jnp.broadcast_to(
+            jnp.asarray(act_scale * qw.scale, jnp.float32), (N,))
+        if (jax.default_backend() == "tpu" and K % 2 == 0
+                and K % min(1024, K) == 0 and N % min(1024, N) == 0
+                and N % 128 == 0):
+            from dlq_tpu.ops.pallas_matmul import int4a8_matmul
+
+            M = x2.shape[0]
+            Mp = -(-M // 256) * 256
+            xp = jnp.pad(xq, ((0, Mp - M), (0, 0))) if Mp != M else xq
+            y = int4a8_matmul(xp, qw.values, scale, None, tm=256)
+            y = y[:M] if Mp != M else y
+        else:
+            w8 = unpack_int4(qw.values, qw.shape)
+            if int8_dot_supported(jax.default_backend()):
+                acc = jax.lax.dot(xq, w8, preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32)
+            else:
+                y = jax.lax.dot(
+                    xq.astype(jnp.float32), w8.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+            y = y * scale
+    elif act_scale is not None and qw.bits == 8:
         xq = quantize_act(x2, act_scale)
         if int8_dot_supported(jax.default_backend()):
             acc = jax.lax.dot(xq, qw.values, preferred_element_type=jnp.int32)

@@ -60,3 +60,6 @@ class QConfig:
 INT8_PER_TENSOR = QConfig(weights=QScheme(8, True, None), acts=QScheme(8, True, None))
 INT8_PER_CHANNEL = QConfig(weights=QScheme(8, True, -1), acts=QScheme(8, True, None))
 INT4_WEIGHT_ONLY_G128 = QConfig(weights=QScheme(4, True, -1, group=128), acts=None)
+# W4A8: int4 per-OC weights + int8 activations — dense sites run on the MXU
+# int8 rate with an in-register nibble unpack (ops/pallas_matmul.int4a8_matmul)
+INT4A8_PER_CHANNEL = QConfig(weights=QScheme(4, True, -1), acts=QScheme(8, True, None))

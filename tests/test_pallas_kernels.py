@@ -72,6 +72,49 @@ def test_int4_matmul_groupwise(data):
     assert rel < 0.01  # bf16 matmul precision
 
 
+def test_int4a8_matmul_exact(data):
+    """W4A8 kernel: int4 weights unpacked to int8 in-register + int8 MXU
+    dots — int32 accumulation is exact, only the fp32 epilogue rounds."""
+    from dlq_tpu.ops.pallas_matmul import int4a8_matmul
+
+    rng, M, K, N = data
+    x = rng.integers(-127, 128, (M, K)).astype(np.int8)
+    q = rng.integers(-8, 8, (K, N)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    scale = (rng.random(N) * 0.01).astype(np.float32)
+    bias = rng.normal(0, 1, N).astype(np.float32)
+    y = int4a8_matmul(jnp.asarray(x), packed, jnp.asarray(scale),
+                      jnp.asarray(bias), tk=K, interpret=True)
+    ref = x.astype(np.int64) @ q.astype(np.int64) * scale + bias
+    rel = np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6
+    yr = int4a8_matmul(jnp.asarray(x), packed, jnp.asarray(scale),
+                       jnp.asarray(bias), fuse_relu=True, tk=K, interpret=True)
+    np.testing.assert_allclose(np.asarray(yr), np.maximum(np.asarray(y), 0.0))
+
+
+def test_qdense_w4a8_routes_and_matches_int_oracle(data):
+    """qdense with int4 per-OC weights + act scale = W4A8: must equal the
+    exact integer oracle (unpack -> int8 dot) bit-for-bit up to the fp32
+    epilogue."""
+    from dlq_tpu.ops.qops import qdense
+    from dlq_tpu.quant.qconfig import QScheme
+    from dlq_tpu.quant.quantize import quantize_act, quantize_tensor, unpack_int4
+
+    rng, M, K, N = data
+    w = rng.normal(0, 1, (K, N)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), QScheme(4, True, -1))
+    x = rng.normal(0, 1, (M, K)).astype(np.float32)
+    act_scale = jnp.float32(np.abs(x).max() / 127.0)
+    y = np.asarray(qdense(jnp.asarray(x), qt, None, act_scale))
+    xq = np.asarray(quantize_act(jnp.asarray(x), act_scale)).astype(np.int64)
+    w8 = np.asarray(unpack_int4(qt.values, qt.shape)).astype(np.int64)
+    ref = (xq @ w8).astype(np.float64) * np.asarray(act_scale * qt.scale,
+                                                    np.float64)
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6
+
+
 def test_int4_matmul_xla2_matches_fused(data):
     """Two-pass XLA dequant variant must match the fused kernel's numerics
     (same split contraction, same bf16 scaled weights)."""
