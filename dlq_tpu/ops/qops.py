@@ -181,7 +181,7 @@ def qdense(
         scale = jnp.broadcast_to(
             jnp.asarray(act_scale * qw.scale, jnp.float32), (N,))
         if (jax.default_backend() == "tpu" and K % 2 == 0
-                and K % min(1024, K) == 0 and N % min(1024, N) == 0
+                and K % min(2048, K) == 0 and N % min(1024, N) == 0
                 and N % 128 == 0):
             from dlq_tpu.ops.pallas_matmul import int4a8_matmul
 

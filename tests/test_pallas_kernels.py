@@ -115,6 +115,33 @@ def test_qdense_w4a8_routes_and_matches_int_oracle(data):
     assert rel < 1e-6
 
 
+def test_mlp_w4a8_pipeline():
+    """INT4A8_PER_CHANNEL through the standard calibrate->quantize->deploy
+    pipeline on the MLP (dense-only family the scheme targets)."""
+    import jax
+
+    from dlq_tpu import numerics
+    from dlq_tpu.models.mlp import MLPConfig, flatten_params, init_mlp, mlp_forward, qforward
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import DeployCtx, make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg = MLPConfig()
+    params = init_mlp(jax.random.PRNGKey(0), cfg)
+    flat = flatten_params(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (64, 784)), jnp.float32)
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x],
+                       INT4A8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT4A8_PER_CHANNEL)
+    assert all(p["qw"].bits == 4 and p["qw"].group is None
+               for p in qflat.values())
+    y = np.asarray(qforward(DeployCtx(qflat, scales, INT4A8_PER_CHANNEL),
+                            x, cfg))
+    yf = np.asarray(mlp_forward(params, x, cfg))
+    assert numerics.diff(y, yf).cosine > 0.99  # int4 per-OC accuracy class
+
+
 def test_int4_matmul_xla2_matches_fused(data):
     """Two-pass XLA dequant variant must match the fused kernel's numerics
     (same split contraction, same bf16 scaled weights)."""
