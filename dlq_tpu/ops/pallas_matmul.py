@@ -240,6 +240,109 @@ def int4a8_matmul(
     )(xe, xo, w_packed, scale2, bias2)
 
 
+def _int4a8_cached_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref,
+                          acc_ref, lo_scr, hi_scr, *, n_k, tkh, fuse_relu):
+    # grid is (j, i, k): for each N-tile j, the k-loop runs for every M-tile
+    # i — unpack only at i == 0 into the K-spanning scratch, reuse after.
+    i = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        wp = wp_ref[:].astype(jnp.int32)
+        lo = wp & 0xF
+        hi = (wp >> 4) & 0xF
+        lo_scr[pl.ds(k * tkh, tkh), :] = jnp.where(
+            lo >= 8, lo - 16, lo).astype(jnp.int8)
+        hi_scr[pl.ds(k * tkh, tkh), :] = jnp.where(
+            hi >= 8, hi - 16, hi).astype(jnp.int8)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(xe_ref[:], lo_scr[pl.ds(k * tkh, tkh), :],
+                              preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot(xo_ref[:], hi_scr[pl.ds(k * tkh, tkh), :],
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * scale_ref[:]
+        y = y + bias_ref[:]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fuse_relu", "tm", "tn", "tk", "interpret")
+)
+def int4a8_matmul_cached(
+    x: jnp.ndarray,  # [M, K] int8
+    w_packed: jnp.ndarray,  # [K//2, N] uint8
+    scale: jnp.ndarray,  # [N] fp32
+    bias: Optional[jnp.ndarray] = None,
+    fuse_relu: bool = False,
+    tm: int = 512,
+    tn: int = 1024,
+    tk: int = 2048,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """int4a8_matmul with the in-register unpack amortized across M-tiles:
+    grid reordered to (N-tiles, M-tiles, K-tiles) and the unpacked int8
+    halves cached in a K-spanning VMEM scratch per N-tile — the unpack runs
+    once per weight element instead of once per (M-tile, weight-tile).
+    Costs 2*(K/2)*tn int8 scratch (4 MB at K=4096, tn=1024)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, K = x.shape
+    Kh, N = w_packed.shape
+    assert Kh * 2 == K, (x.shape, w_packed.shape)
+    assert x.dtype == jnp.int8, x.dtype
+    tm, tn = min(tm, M), min(tn, N)
+    tk = min(tk, K)
+    assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
+    n_k = K // tk
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    scale2 = jnp.broadcast_to(scale.astype(jnp.float32), (N,)).reshape(1, N)
+    bias2 = bias.astype(jnp.float32).reshape(1, N)
+    x3 = x.reshape(M, Kh, 2)
+    xe = x3[:, :, 0]
+    xo = x3[:, :, 1]
+
+    grid = (N // tn, M // tm, n_k)
+    return pl.pallas_call(
+        functools.partial(_int4a8_cached_kernel, n_k=n_k, tkh=tk // 2,
+                          fuse_relu=fuse_relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk // 2), lambda j, i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda j, i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda j, i, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda j, i, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.int32),
+            pltpu.VMEM((Kh, tn), jnp.int8),
+            pltpu.VMEM((Kh, tn), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + Kh * N + 4 * M * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, w_packed, scale2, bias2)
+
+
 # ---------------------------------------------------------------------------
 # W4A16 fused dequant matmul (weight-only int4, group-wise scales)
 # ---------------------------------------------------------------------------
@@ -353,6 +456,121 @@ def _int4_mm_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,
         if fuse_relu:
             y = jnp.maximum(y, 0.0)
         o_ref[:] = y
+
+
+def _int4_cached_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref,
+                        acc_ref, lo_scr, hi_scr, *, n_k, tk, tkh, group,
+                        fuse_relu):
+    # grid (j, i, k): dequantize (unpack + group scale) once per weight tile
+    # at i == 0 into K-spanning bf16 scratches, reuse across M-tiles.
+    i = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        wp = wp_ref[:].astype(jnp.int32)
+        lo = wp & 0xF
+        hi = (wp >> 4) & 0xF
+        lo = jnp.where(lo >= 8, lo - 16, lo)
+        hi = jnp.where(hi >= 8, hi - 16, hi)
+        ng = tk // group
+        s = scale_ref[pl.ds(k * ng, ng), :]
+        tn_ = s.shape[-1]
+        half = group // 2
+        sh = jnp.broadcast_to(s[:, None, :], (ng, half, tn_)).reshape(
+            tkh, tn_).astype(jnp.bfloat16)
+        lo_scr[pl.ds(k * tkh, tkh), :] = lo.astype(jnp.bfloat16) * sh
+        hi_scr[pl.ds(k * tkh, tkh), :] = hi.astype(jnp.bfloat16) * sh
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(
+        xe_ref[:].astype(jnp.bfloat16), lo_scr[pl.ds(k * tkh, tkh), :],
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot(
+        xo_ref[:].astype(jnp.bfloat16), hi_scr[pl.ds(k * tkh, tkh), :],
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        y = acc_ref[:] + bias_ref[:]
+        if fuse_relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "fuse_relu", "tm", "tn", "tk", "interpret")
+)
+def int4_matmul_cached(
+    x: jnp.ndarray,  # [M, K] fp32/bf16
+    w_packed: jnp.ndarray,  # [K//2, N] uint8
+    scales: jnp.ndarray,  # [K//group, N] fp32
+    bias: Optional[jnp.ndarray] = None,
+    group: int = 128,
+    fuse_relu: bool = False,
+    tm: int = 1024,
+    tn: int = 512,
+    tk: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """int4_matmul (W4A16 group-wise) with the dequant amortized across
+    M-tiles via K-spanning bf16 weight scratches — the same k-cached scheme
+    as int4a8_matmul_cached. Scratch cost 2*(K/2)*tn bf16 (4 MB at K=4096,
+    tn=512)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    M, K = x.shape
+    Kh, N = w_packed.shape
+    assert Kh * 2 == K, (x.shape, w_packed.shape)
+    tm, tn = min(tm, M), min(tn, N)
+    tk = min(tk, K)
+    if tk % group != 0:
+        tk = group
+    if tk < K and tk < 8 * group:
+        tk = min(K, 8 * group)
+    assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
+    assert K % group == 0 and scales.shape == (K // group, N), scales.shape
+    assert group % 2 == 0, group
+    n_k = K // tk
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    bias2 = bias.astype(jnp.float32).reshape(1, N)
+    x3 = x.astype(jnp.bfloat16).reshape(M, Kh, 2)
+    xe = x3[:, :, 0]
+    xo = x3[:, :, 1]
+
+    grid = (N // tn, M // tm, n_k)
+    return pl.pallas_call(
+        functools.partial(_int4_cached_kernel, n_k=n_k, tk=tk, tkh=tk // 2,
+                          group=group, fuse_relu=fuse_relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk // 2), lambda j, i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk // 2), lambda j, i, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda j, i, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // group, tn), lambda j, i, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda j, i, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.float32),
+            pltpu.VMEM((Kh, tn), jnp.bfloat16),
+            pltpu.VMEM((Kh, tn), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + Kh * N + 4 * M * N,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, w_packed, scales, bias2)
 
 
 @functools.partial(

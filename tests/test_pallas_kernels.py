@@ -115,6 +115,37 @@ def test_qdense_w4a8_routes_and_matches_int_oracle(data):
     assert rel < 1e-6
 
 
+def test_int4_cached_kernels_match(data):
+    """k-cached-unpack variants (grid (j,i,k), K-spanning weight scratch)
+    must match the uncached kernels: int4a8 exactly (int paths), W4A16 to
+    bf16 precision."""
+    from dlq_tpu.ops.pallas_matmul import (
+        int4_matmul_cached, int4a8_matmul, int4a8_matmul_cached,
+    )
+
+    rng, M, K, N = data
+    q = rng.integers(-8, 8, (K, N)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    x8 = jnp.asarray(rng.integers(-127, 128, (M, K)).astype(np.int8))
+    scale = jnp.asarray((rng.random(N) * 0.01).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 1, N).astype(np.float32))
+    y0 = np.asarray(int4a8_matmul(x8, packed, scale, bias, tm=128, tn=128,
+                                  tk=256, interpret=True))
+    y1 = np.asarray(int4a8_matmul_cached(x8, packed, scale, bias, tm=128,
+                                         tn=128, tk=256, interpret=True))
+    np.testing.assert_array_equal(y0, y1)
+
+    g = 128
+    gs = jnp.asarray((rng.random((K // g, N)) * 0.05 + 0.01).astype(np.float32))
+    xf = jnp.asarray(rng.normal(0, 1, (M, K)).astype(np.float32))
+    yc = np.asarray(int4_matmul_cached(xf, packed, gs, bias, group=g, tm=128,
+                                       tn=128, interpret=True))
+    wf = q.astype(np.float32) * np.repeat(np.asarray(gs), g, axis=0)
+    ref = np.asarray(xf) @ wf + np.asarray(bias)
+    rel = np.abs(yc - ref).max() / np.abs(ref).max()
+    assert rel < 0.01
+
+
 def test_mlp_w4a8_pipeline():
     """INT4A8_PER_CHANNEL through the standard calibrate->quantize->deploy
     pipeline on the MLP (dense-only family the scheme targets)."""
