@@ -101,15 +101,34 @@ def bf16_matmul_roofline(M=4096, K=4096, N=4096, iters=20) -> Dict[str, float]:
     return measure_matmul_kernel(f, M, K, N, dtype="bf16", iters=iters, args=(x, w))
 
 
-def int4_matmul_roofline(M=4096, K=4096, N=4096, group=128, iters=20) -> Dict[str, float]:
-    from dlq_tpu.ops.pallas_matmul import int4_matmul
+def int4_matmul_roofline(M=4096, K=4096, N=4096, group=128, iters=20,
+                         cached=False) -> Dict[str, float]:
+    from dlq_tpu.ops.pallas_matmul import int4_matmul, int4_matmul_cached
 
+    kernel = int4_matmul_cached if cached else int4_matmul
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.bfloat16)
     wp = jnp.asarray(rng.integers(0, 256, (K // 2, N)), jnp.uint8)
     scales = jnp.asarray(rng.random((K // group, N)), jnp.float32)
 
     def run(xx, wpp):
-        return int4_matmul(xx, wpp, scales, None, group=group)
+        return kernel(xx, wpp, scales, None, group=group)
 
     return measure_matmul_kernel(run, M, K, N, dtype="bf16", iters=iters, args=(x, wp))
+
+
+def int4a8_matmul_roofline(M=4096, K=4096, N=4096, iters=20,
+                           cached=False) -> Dict[str, float]:
+    """W4A8: int4 weights on the int8 MXU rate (per-OC scales)."""
+    from dlq_tpu.ops.pallas_matmul import int4a8_matmul, int4a8_matmul_cached
+
+    kernel = int4a8_matmul_cached if cached else int4a8_matmul
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    wp = jnp.asarray(rng.integers(0, 256, (K // 2, N)), jnp.uint8)
+    scale = jnp.ones((N,), jnp.float32)
+
+    def run(xx, wpp):
+        return kernel(xx, wpp, scale, None)
+
+    return measure_matmul_kernel(run, M, K, N, dtype="int8", iters=iters, args=(x, wp))

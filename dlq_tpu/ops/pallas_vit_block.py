@@ -590,10 +590,12 @@ def vit_forward_multiblock_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                               layers_per_kernel: int = 12, bt: int = 8,
                               gelu_tanh: bool = True, tight: bool = True,
                               attn_int8: bool = False, ablate: tuple = (),
+                              conv_embed: bool = True,
                               interpret: bool | None = None) -> jnp.ndarray:
     """W8A8 forward on stacked multi-layer kernels (chunks of
-    layers_per_kernel). `packed` from pack_vit_blocks_w8(..., tight=...)."""
-    from dlq_tpu.models.vit import layernorm, patchify
+    layers_per_kernel). `packed` from pack_vit_blocks_w8(..., tight=...).
+    x may be raw uint8 NHWC (preprocess folds into the embed)."""
+    from dlq_tpu.models.vit import layernorm
 
     N, D = cfg.seq_len, cfg.dim
     hd = D // cfg.heads
@@ -602,9 +604,7 @@ def vit_forward_multiblock_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     chunks = packed.get("_chunks")
     if chunks is None:
         chunks = stack_vit_blocks_w8(packed, layers_per_kernel)
-    y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    y = y + packed["patch"]["b"]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
     cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
     y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
     y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
@@ -673,6 +673,53 @@ def vit_block_fused_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
 # ---------------------------------------------------------------------------
 # offline packing + full forward
 # ---------------------------------------------------------------------------
+
+def embed_tokens(packed: Dict[str, Any], x: jnp.ndarray, cfg,
+                 conv_embed: bool = True, mean=None, std=None) -> jnp.ndarray:
+    """Patch embedding [B,H,W,C] -> [B, N-1, D] tokens.
+
+    conv_embed=True runs patchify@W as ONE strided conv (exact rewrite:
+    out[b,i,j,d] = sum_{u,v,c} x[b,ip+u,jp+v,c] * W[(u,v,c),d]), skipping
+    the 6D transpose relayout of models/vit.patchify — the embed stage
+    measured 0.66 ms of the 6.98 ms DeiT forward, mostly that relayout.
+
+    uint8 input: raw-image ingest with the preprocess fold (same scheme as
+    the ResNet stem, model_quant.conv_stem_bf16_u8): x_norm =
+    (u - 255*mean)/(255*std), the 1/(255*std_c) folds into the patch
+    weights and the -255*mean shift is a fused subtract. 4x less input
+    bandwidth than fp32 NHWC."""
+    from dlq_tpu.models.vit import patchify
+
+    p = cfg.patch
+    B, H, W, C = x.shape
+    wf = packed["patch"]["w"]  # [p*p*C, D]
+    D = wf.shape[-1]
+    if x.dtype == jnp.uint8:
+        import numpy as _np
+
+        from dlq_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = IMAGENET_MEAN if mean is None else mean
+        std = IMAGENET_STD if std is None else std
+        inv = 1.0 / (255.0 * _np.asarray(std, _np.float32))
+        w4 = (wf.astype(jnp.float32).reshape(p, p, C, D)
+              * jnp.asarray(inv)[None, None, :, None]).astype(jnp.bfloat16)
+        xb = x.astype(jnp.bfloat16) - jnp.asarray(
+            255.0 * _np.asarray(mean, _np.float32), jnp.bfloat16)
+        conv_embed = True  # the fold is only expressed in conv form
+    else:
+        xb = x.astype(jnp.bfloat16)
+        w4 = wf.reshape(p, p, C, D).astype(jnp.bfloat16)
+    if conv_embed:
+        y = jax.lax.conv_general_dilated(
+            xb, w4, (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, -1, D).astype(jnp.bfloat16)
+    else:
+        y = jnp.dot(patchify(xb, p), wf,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return y + packed["patch"]["b"]
 
 def pack_vit_blocks(params: Dict[str, Any], cfg, tight: bool = False
                     ) -> Dict[str, Any]:
@@ -816,19 +863,17 @@ def pack_vit_blocks_w8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
 
 def vit_forward_blockfused_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                               bt: int = 8, gelu_tanh: bool = True,
-                              tight: bool = False,
+                              tight: bool = False, conv_embed: bool = True,
                               interpret: bool | None = None) -> jnp.ndarray:
     """Quantized (W8A8) fused-block forward — the ViT int8 deploy path.
     `tight` must match the pack_vit_blocks_w8 call that built `packed`."""
-    from dlq_tpu.models.vit import layernorm, patchify
+    from dlq_tpu.models.vit import layernorm
 
     N, D = cfg.seq_len, cfg.dim
     hd = D // cfg.heads
     Np, Dp = vit_pads(cfg, tight)
     B = x.shape[0]
-    y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    y = y + packed["patch"]["b"]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
     cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
     y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
     y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
@@ -843,14 +888,14 @@ def vit_forward_blockfused_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
 
 def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                            bt: int = 4, gelu_tanh: bool = True,
-                           tight: bool = False,
+                           tight: bool = False, conv_embed: bool = True,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Full DeiT/ViT forward on the fused block kernel (bf16 deploy path).
 
     Embed + final norm + head run as XLA ops (tiny); the 12 blocks run as
     fused kernels over the padded [B, Np, Dp] residual stream.
     """
-    from dlq_tpu.models.vit import layernorm, patchify
+    from dlq_tpu.models.vit import layernorm
 
     # derive statically from cfg (packed["dims"] records the same values but
     # would be traced if read from the pytree under jit)
@@ -858,9 +903,7 @@ def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     hd = D // cfg.heads
     Np, Dp = vit_pads(cfg, tight)
     B = x.shape[0]
-    y = jnp.dot(patchify(x.astype(jnp.bfloat16), cfg.patch), packed["patch"]["w"],
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    y = y + packed["patch"]["b"]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
     cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
     y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
     y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
