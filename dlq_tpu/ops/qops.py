@@ -139,12 +139,26 @@ def qconv2d(
     with int32 accum, fp32 per-channel rescale (+bias, +relu). The quantize
     and rescale are elementwise and fuse into the conv under jit.
 
-    qw.values: HWIO int8; qw.scale: per-tensor () or per-OC (O,).
+    qw.values: HWIO int8 (or nibble-packed int4 on the [K, O] view with
+    per-OC scales — W4A8: the exact in-graph unpack to int8 feeds the same
+    int8 conv, so int4 conv weights cost half the HBM residency/stream of
+    W8A8 at the full int8 conv rate; the unpack is one elementwise pass over
+    the small weight tensor). qw.scale: per-tensor () or per-OC (O,).
     """
-    if qw.bits != 8:
-        raise ValueError("qconv2d is the int8 path; use int4 dense kernels for W4")
+    if qw.bits == 4:
+        if qw.group is not None:
+            raise ValueError(
+                "group-wise int4 conv cannot fold scales post-accumulation; "
+                "use weight-only dequant (DeployCtx weight_only path)")
+        from dlq_tpu.quant.quantize import unpack_int4
+
+        wq = unpack_int4(qw.values, qw.shape).reshape(qw.layout_shape)
+    elif qw.bits in (2, 8):  # int2 values are stored int8; same int compute
+        wq = qw.values
+    else:
+        raise ValueError(f"unsupported weight bits {qw.bits}")
     xq = quantize_act(x, act_scale)
-    acc = _conv_int8(xq, qw.values, stride, padding, groups)
+    acc = _conv_int8(xq, wq, stride, padding, groups)
     scale = act_scale * qw.scale  # () or (O,) — broadcasts over NHWC
     y = acc.astype(jnp.float32) * scale
     if bias is not None:
@@ -201,7 +215,7 @@ def qdense(
                     preferred_element_type=jnp.float32,
                 )
             y = y * scale
-    elif act_scale is not None and qw.bits == 8:
+    elif act_scale is not None and qw.bits in (2, 8):
         xq = quantize_act(x2, act_scale)
         if int8_dot_supported(jax.default_backend()):
             acc = jax.lax.dot(xq, qw.values, preferred_element_type=jnp.int32)

@@ -53,6 +53,20 @@ def quantize_weights(flat: FlatParams, qcfg: QConfig) -> FlatParams:
             else:
                 # QTensor keeps the 2D [K, O] view; w_shape restores layout
                 qw = quantize_tensor(w2, scheme)
+        elif scheme.bits == 4:
+            # int4 per-OC (W4A8 / weight-only): nibble packing runs along the
+            # contraction axis, so quantize on the 2D [K, O] view (K = H*W*I
+            # for conv HWIO). Odd-K sites (e.g. the 7x7 C=3 stem, K=147)
+            # cannot pack — fall back to int8 per-channel there.
+            K = 1
+            for d in w.shape[:-1]:
+                K *= d
+            if K % 2 != 0:
+                import dataclasses as _dc
+
+                qw = quantize_tensor(w, _dc.replace(scheme, bits=8))
+            else:
+                qw = quantize_tensor(w.reshape(K, w.shape[-1]), scheme)
         else:
             qw = quantize_tensor(w, scheme)
         qw.orig_shape = tuple(w.shape)
@@ -65,6 +79,16 @@ def _deq_weight(p: Dict[str, Any]) -> jnp.ndarray:
     qw: QTensor = p["qw"]
     w = dequantize(qw)
     return w.reshape(qw.layout_shape)
+
+
+def _int_weight(qw: QTensor) -> jnp.ndarray:
+    """Integer weight values in the original layout: int8 as-is; per-OC int4
+    unpacked to int8 in-graph (exact — same accumulation either way)."""
+    if qw.bits == 4:
+        from dlq_tpu.quant.quantize import unpack_int4
+
+        return unpack_int4(qw.values, qw.shape).reshape(qw.layout_shape)
+    return qw.values.reshape(qw.layout_shape)
 
 
 class ObserveCtx:
@@ -201,7 +225,7 @@ class FusedDeployCtx(DeployCtx):
         else:
             s_in = self.act_scales[name]
             xq = quantize_act(x, s_in, self.qcfg.acts.qmax)
-        acc = _conv_int8(xq, p["qw"].values, stride, padding, groups)
+        acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups)
         combined = s_in * p["qw"].scale  # () or (OC,)
         y = acc.astype(jnp.float32) * combined
         if p.get("b") is not None:
@@ -227,7 +251,8 @@ class FusedDeployCtx(DeployCtx):
         if isinstance(x, QAct):
             # direct int8 matmul on the already-quantized activation
             p = self.qflat[name]
-            acc = _jax.lax.dot(x.q, p["qw"].values, preferred_element_type=jnp.int32)
+            acc = _jax.lax.dot(x.q, _int_weight(p["qw"]),
+                               preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * (x.scale * p["qw"].scale)
             if p.get("b") is not None:
                 y = y + p["b"]
@@ -258,6 +283,9 @@ class PallasDeployCtx(DeployCtx):
             return super().conv(name, x, stride=stride, padding=padding,
                                 groups=groups, fuse_relu=fuse_relu)
         qw: QTensor = p["qw"]
+        if qw.bits != 8:
+            return super().conv(name, x, stride=stride, padding=padding,
+                                groups=groups, fuse_relu=fuse_relu)
         kh, kw = qw.layout_shape[0], qw.layout_shape[1]
         s_in = self.act_scales[name]
         stride_t = (stride, stride) if isinstance(stride, int) else stride
@@ -290,7 +318,7 @@ class PallasDeployCtx(DeployCtx):
 
         qw: QTensor = p["qw"]
         K, N_ = qw.shape[-2], qw.shape[-1]
-        if K % 128 != 0 or N_ % 128 != 0:
+        if qw.bits != 8 or K % 128 != 0 or N_ % 128 != 0:
             return super().dense(name, x, fuse_relu=fuse_relu)
         s_in = self.act_scales[name]
         lead = x.shape[:-1]
@@ -406,7 +434,7 @@ class FullFusedCtx(FusedDeployCtx):
         h2, w2 = (H + 6) // 2, (W + 6) // 2
         s2 = xp4.reshape(N, h2, 2, w2, 2, Cin).transpose(0, 1, 3, 2, 4, 5)
         s2 = s2.reshape(N, h2, w2, 4 * Cin)
-        w7 = qw.values.reshape(qw.layout_shape)  # [7,7,Cin,OC] int8
+        w7 = _int_weight(qw)  # [7,7,Cin,OC] int8
         w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
         OC = w7.shape[-1]
         w4 = w8.reshape(4, 2, 4, 2, Cin, OC).transpose(0, 2, 1, 3, 4, 5)

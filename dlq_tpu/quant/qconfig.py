@@ -11,7 +11,9 @@ from typing import Optional
 class QScheme:
     """How one tensor class (weights or activations) is quantized.
 
-    bits:      8 (int8) or 4 (int4, weights only)
+    bits:      8 (int8), 4 (int4), or 2 (int2 — the reference's stated
+               INT2 experiment target, reports/Step2.md:164-168; QAT/simulate
+               and int8-compute deploy, no packed storage)
     symmetric: symmetric (zero_point=0) vs affine
     axis:      per-channel axis in the tensor's stored layout; None = per-tensor.
                For HWIO conv weights and IO dense weights the output-channel
@@ -26,20 +28,20 @@ class QScheme:
     group: Optional[int] = None
 
     def __post_init__(self):
-        if self.bits not in (4, 8):
-            raise ValueError(f"bits must be 4 or 8, got {self.bits}")
-        if self.bits == 4 and not self.symmetric:
-            raise ValueError("int4 path is symmetric-only")
+        if self.bits not in (2, 4, 8):
+            raise ValueError(f"bits must be 2, 4 or 8, got {self.bits}")
+        if self.bits != 8 and not self.symmetric:
+            raise ValueError("sub-8-bit paths are symmetric-only")
 
     @property
     def qmax(self) -> int:
-        return 127 if self.bits == 8 else 7
+        return {8: 127, 4: 7, 2: 1}[self.bits]
 
     @property
     def qmin(self) -> int:
         if self.symmetric:
             return -self.qmax
-        return -128 if self.bits == 8 else -8
+        return -(2 ** (self.bits - 1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,5 +63,7 @@ INT8_PER_TENSOR = QConfig(weights=QScheme(8, True, None), acts=QScheme(8, True, 
 INT8_PER_CHANNEL = QConfig(weights=QScheme(8, True, -1), acts=QScheme(8, True, None))
 INT4_WEIGHT_ONLY_G128 = QConfig(weights=QScheme(4, True, -1, group=128), acts=None)
 # W4A8: int4 per-OC weights + int8 activations — dense sites run on the MXU
-# int8 rate with an in-register nibble unpack (ops/pallas_matmul.int4a8_matmul)
+# int8 rate with an in-register nibble unpack (ops/pallas_matmul.int4a8_matmul);
+# conv sites unpack in-graph (exact) onto XLA's int8 conv (ops/qops.qconv2d).
+# Odd-K sites (the C=3 stems) fall back to int8 per-channel automatically.
 INT4A8_PER_CHANNEL = QConfig(weights=QScheme(4, True, -1), acts=QScheme(8, True, None))

@@ -192,3 +192,87 @@ def test_full_fused_ctx_taps(setup):
     qflat = quantize_weights(flat, qcfg)
     _, taps = qforward_fused2(FullFusedCtx(qflat, scales, qcfg), x, cfg, taps=True)
     assert set(taps) >= {"stem", "layer1", "layer4", "logits"}
+
+
+def test_w4a8_qconv2d_exact():
+    """W4A8 conv: the in-graph nibble unpack is exact, so qconv2d with int4
+    per-OC weights must match the integer reference computed on the unpacked
+    values (same int32 accumulation as W8A8 — only the weight storage is
+    4-bit). This is the conv counterpart of the int4a8 dense path."""
+    from dlq_tpu.ops.qops import qconv2d
+    from dlq_tpu.quant.qconfig import QScheme
+    from dlq_tpu.quant.quantize import (
+        QTensor, quantize_act, quantize_tensor, unpack_int4,
+    )
+
+    rng = np.random.default_rng(7)
+    kh = kw = 3
+    ci, co = 8, 16
+    w = rng.normal(0, 1, (kh, kw, ci, co)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w.reshape(-1, co)), QScheme(4, True, -1))
+    qt.orig_shape = (kh, kw, ci, co)
+    x = rng.normal(0, 1, (2, 10, 10, ci)).astype(np.float32)
+    act_scale = jnp.float32(np.abs(x).max() / 127.0)
+    y = np.asarray(qconv2d(jnp.asarray(x), qt, None, act_scale, stride=1,
+                           padding=1))
+    # integer reference: quantized acts conv unpacked int8 weights (exact)
+    xq = np.asarray(quantize_act(jnp.asarray(x), act_scale)).astype(np.int64)
+    w8 = np.asarray(unpack_int4(qt.values, qt.shape)).reshape(kh, kw, ci, co)
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = np.zeros((2, 10, 10, co), np.int64)
+    for u in range(kh):
+        for v in range(kw):
+            acc += np.einsum("nhwc,co->nhwo", xp[:, u:u + 10, v:v + 10, :],
+                             w8[u, v].astype(np.int64))
+    ref = acc.astype(np.float64) * np.asarray(act_scale * qt.scale, np.float64)
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 1e-6
+
+
+def test_w4a8_resnet_pipeline(setup):
+    """INT4A8_PER_CHANNEL through the full ResNet PTQ pipeline: even-K conv
+    sites pack to int4 (half the weight bytes of W8A8, same int8 conv rate);
+    odd-K sites (the C=3 stem) fall back to int8; the fused fully-int8
+    interchange ctx runs the same int4 weights."""
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT4A8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    bits = {site: p["qw"].bits for site, p in qflat.items()}
+    assert bits["stem"] == 8  # K = 3*3*3 = 27, odd -> int8 fallback
+    assert bits["layer1.0.conv1"] == 4 and bits["fc"] == 4
+    assert sum(b == 4 for b in bits.values()) >= 15
+    dep = np.asarray(qforward(DeployCtx(qflat, scales, qcfg), x, cfg))
+    # correctness: integer deploy tracks the fake-quant fp32 oracle (same
+    # quantization decisions; only accumulation order differs)
+    sim = np.asarray(qforward(SimulateCtx(qflat, scales, qcfg), x, cfg))
+    assert numerics.diff(dep, sim).cosine > 0.999
+    # accuracy class: int4 per-OC across 18 layers (random weights)
+    assert numerics.diff(dep, fp32).cosine > 0.95
+    f2 = np.asarray(qforward_fused2(FullFusedCtx(qflat, scales, qcfg), x, cfg))
+    assert numerics.diff(f2, dep).cosine > 0.99
+
+
+def test_w4a8_store_roundtrip_engine(setup, tmp_path):
+    """W4A8 store round-trip + Engine.from_store cold start on the fused2
+    (fully-int8 interchange) path — bit-exact vs the in-process forward."""
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT4A8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    before = np.asarray(qforward_fused2(FullFusedCtx(qflat, scales, qcfg), x, cfg))
+    save_quantized(str(tmp_path / "q48"), "resnet18", qflat, scales, qcfg,
+                   meta={"config": {"num_classes": cfg.num_classes,
+                                    "small_input": cfg.small_input}})
+    eng = Engine.from_store(str(tmp_path / "q48"), ctx="fused2", batch=x.shape[0])
+    after = np.asarray(eng(np.asarray(x)))
+    np.testing.assert_array_equal(before, after)
