@@ -47,3 +47,30 @@ def synthetic_mnist(n: int = 10000, seed: int = 0, proto_seed: int = 42) -> Tupl
     X = protos[y] + rng.normal(0, 1.5, (n, 784)).astype(np.float32)
     X = (X - X.mean()) / (X.std() + 1e-8)  # match normalized-contract stats
     return X.astype(np.float32), y
+
+
+def load_mnist(
+    data_dir: str | None = None,
+    train_n: int | None = None,
+    test_n: int | None = None,
+    allow_synthetic: bool = True,
+) -> Tuple[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray], bool]:
+    """Convenience loader: real .bin contract when present (``data_dir`` or
+    $DLQ_MNIST_DIR or ./data), deterministic synthetic surrogate otherwise.
+    Returns ((Xtr, Ytr), (Xte, Yte), synthetic_flag)."""
+    data_dir = data_dir or os.environ.get("DLQ_MNIST_DIR", "data")
+    try:
+        Xtr, Ytr = load_mnist_bin(data_dir, "train")
+        Xte, Yte = load_mnist_bin(data_dir, "test")
+        synthetic = False
+    except (FileNotFoundError, ValueError, OSError):
+        if not allow_synthetic:
+            raise
+        Xtr, Ytr = synthetic_mnist(train_n or 10000, seed=0)
+        Xte, Yte = synthetic_mnist(test_n or 2000, seed=1)
+        synthetic = True
+    if train_n:
+        Xtr, Ytr = Xtr[:train_n], Ytr[:train_n]
+    if test_n:
+        Xte, Yte = Xte[:test_n], Yte[:test_n]
+    return (Xtr, Ytr), (Xte, Yte), synthetic

@@ -151,3 +151,23 @@ def test_tp_sharded_fused2_matches_single(setup):
     eng2 = Engine(fwd, payload, batch=8, mesh=mesh, tensor_parallel=True)
     out = np.asarray(eng2(x))
     numerics.check(out, ref, atol=1e-4, what="tp_fused2")
+
+
+def test_tp_sharded_w4a8_matches_single(setup):
+    """W4A8 (nibble-packed int4 conv/dense weights) under dp x tp sharding:
+    packed values [K/2, OC] and per-OC scales shard on the same channel axis,
+    the in-graph unpack is local to each shard — numerics must match the
+    unsharded engine."""
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT4A8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    ref = np.asarray(eng1(x))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    eng2 = Engine.quantized(
+        qforward, flat, cfg, INT4A8_PER_CHANNEL, act_scales=eng1.act_scales,
+        batch=8, mesh=mesh, tensor_parallel=True,
+    )
+    out = np.asarray(eng2(x))
+    numerics.check(out, ref, atol=1e-4, what="tp_w4a8")

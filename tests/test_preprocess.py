@@ -38,3 +38,22 @@ def test_to_bin(tmp_path):
     to_bin(x, p)
     back = np.fromfile(p, np.float32).reshape(x.shape)
     np.testing.assert_array_equal(back, x)
+
+
+def test_load_mnist_fallback_and_bin(tmp_path):
+    """load_mnist: synthetic fallback when .bin files are absent; real
+    contract round-trip when present (same files the reference ladder uses)."""
+    import numpy as np
+
+    from dlq_tpu.data.mnist import load_mnist, save_mnist_bin
+
+    (Xtr, Ytr), (Xte, Yte), synth = load_mnist(str(tmp_path / "none"),
+                                               train_n=256, test_n=64)
+    assert synth and Xtr.shape == (256, 784) and Yte.shape == (64,)
+
+    save_mnist_bin(str(tmp_path / "d"), Xtr, Ytr, "train")
+    save_mnist_bin(str(tmp_path / "d"), Xte, Yte, "test")
+    (X2, Y2), (X3, Y3), synth2 = load_mnist(str(tmp_path / "d"))
+    assert not synth2
+    np.testing.assert_array_equal(X2, Xtr)
+    np.testing.assert_array_equal(Y3, Yte)
