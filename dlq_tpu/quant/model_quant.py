@@ -37,7 +37,7 @@ def quantize_weights(flat: FlatParams, qcfg: QConfig) -> FlatParams:
     out: FlatParams = {}
     for site, p in flat.items():
         w = p["w"]
-        scheme = qcfg.weights
+        scheme = qcfg.scheme_for(site)
         if scheme.group is not None:
             K = 1
             for d in w.shape[:-1]:

@@ -97,20 +97,21 @@ class QATCtx:
         self.batch_amax[name] = jax.lax.stop_gradient(jnp.max(jnp.abs(x)))
         return fake_quant_ste(x, self.act_scales[name], self.qcfg.acts.qmax)
 
-    def _fq_weight(self, w):
-        return fake_quant_ste(w, _weight_scale(w, self.qcfg.weights),
-                              self.qcfg.weights.qmax)
+    def _fq_weight(self, name, w):
+        scheme = self.qcfg.scheme_for(name)  # mixed-precision per site
+        return fake_quant_ste(w, _weight_scale(w, scheme), scheme.qmax)
 
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
         p = self.flat[name]
-        y = conv2d(self._fq_act(name, x), self._fq_weight(p["w"]),
+        y = conv2d(self._fq_act(name, x), self._fq_weight(name, p["w"]),
                    stride=stride, padding=padding, groups=groups,
                    bias=p.get("b"))
         return relu(y) if fuse_relu else y
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.flat[name]
-        y = dense(self._fq_act(name, x), self._fq_weight(p["w"]), p.get("b"))
+        y = dense(self._fq_act(name, x), self._fq_weight(name, p["w"]),
+                  p.get("b"))
         return relu(y) if fuse_relu else y
 
 

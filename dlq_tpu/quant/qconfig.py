@@ -4,7 +4,8 @@ reference lacked — SURVEY §5.6 calls for dataclass config over argv parsing).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import fnmatch
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,10 +53,23 @@ class QConfig:
     acts: Optional[QScheme] = QScheme(bits=8, symmetric=True, axis=None)  # None => weight-only
     calibration: str = "minmax"  # "minmax" | "percentile" | "mse"
     percentile: float = 99.99
+    # mixed precision: (fnmatch pattern, scheme) pairs consulted in order;
+    # first match wins, else `weights`. The standard INT4 recipe keeps the
+    # quantization-sensitive stem/head at int8:
+    #   weight_overrides=(("stem", QScheme(8, True, -1)),
+    #                     ("fc", QScheme(8, True, -1)))
+    weight_overrides: Tuple[Tuple[str, QScheme], ...] = ()
 
     @property
     def weight_only(self) -> bool:
         return self.acts is None
+
+    def scheme_for(self, site: str) -> QScheme:
+        """Weight scheme for one site (mixed-precision lookup)."""
+        for pattern, scheme in self.weight_overrides:
+            if fnmatch.fnmatch(site, pattern):
+                return scheme
+        return self.weights
 
 
 # Preset recipes matching BASELINE.json configs

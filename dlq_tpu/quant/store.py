@@ -36,6 +36,9 @@ def save_quantized(
         "qconfig": {
             "weights": dataclasses.asdict(qcfg.weights),
             "acts": dataclasses.asdict(qcfg.acts) if qcfg.acts else None,
+            "weight_overrides": [
+                [pat, dataclasses.asdict(s)] for pat, s in qcfg.weight_overrides
+            ],
             "calibration": qcfg.calibration,
             "percentile": qcfg.percentile,
         },
@@ -80,6 +83,9 @@ def load_quantized(root: str) -> Tuple[FlatParams, Dict[str, jnp.ndarray], QConf
         acts=QScheme(**qc["acts"]) if qc.get("acts") else None,
         calibration=qc.get("calibration", "minmax"),
         percentile=qc.get("percentile", 99.99),
+        weight_overrides=tuple(
+            (pat, QScheme(**d)) for pat, d in qc.get("weight_overrides", [])
+        ),
     )
     w_shapes = m.meta.get("w_shapes", {})
     qflat: FlatParams = {}

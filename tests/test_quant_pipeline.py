@@ -276,3 +276,43 @@ def test_w4a8_store_roundtrip_engine(setup, tmp_path):
     eng = Engine.from_store(str(tmp_path / "q48"), ctx="fused2", batch=x.shape[0])
     after = np.asarray(eng(np.asarray(x)))
     np.testing.assert_array_equal(before, after)
+
+
+def test_mixed_precision_overrides(setup, tmp_path):
+    """Per-site weight schemes (the standard INT4 recipe: int8 stem + fc,
+    int4 body): overrides apply by fnmatch, improve accuracy over all-int4,
+    and round-trip through the quantized store."""
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL, QScheme
+
+    cfg, params, flat, x, fp32 = setup
+    import dataclasses as dc
+
+    mixed = dc.replace(
+        INT4A8_PER_CHANNEL,
+        weight_overrides=(("stem", QScheme(8, True, -1)),
+                          ("fc", QScheme(8, True, -1)),
+                          ("layer1.*", QScheme(8, True, -1))),
+    )
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], mixed)
+    qflat = quantize_weights(flat, mixed)
+    assert qflat["stem"]["qw"].bits == 8
+    assert qflat["fc"]["qw"].bits == 8
+    assert qflat["layer1.0.conv1"]["qw"].bits == 8
+    assert qflat["layer4.0.conv1"]["qw"].bits == 4
+    dep_mixed = np.asarray(qforward(DeployCtx(qflat, scales, mixed), x, cfg))
+
+    qflat4 = quantize_weights(flat, INT4A8_PER_CHANNEL)
+    dep_all4 = np.asarray(qforward(DeployCtx(qflat4, scales, INT4A8_PER_CHANNEL), x, cfg))
+    assert (numerics.diff(dep_mixed, fp32).rel_l2
+            <= numerics.diff(dep_all4, fp32).rel_l2)
+
+    save_quantized(str(tmp_path / "qmix"), "resnet18", qflat, scales, mixed,
+                   meta={"config": {"num_classes": cfg.num_classes,
+                                    "small_input": cfg.small_input}})
+    qflat2, scales2, qcfg2, _ = load_quantized(str(tmp_path / "qmix"))
+    assert qcfg2.weight_overrides[0][0] == "stem"
+    assert qcfg2.scheme_for("stem").bits == 8
+    assert qcfg2.scheme_for("layer4.0.conv1").bits == 4
+    eng = Engine.from_store(str(tmp_path / "qmix"), batch=x.shape[0])
+    np.testing.assert_array_equal(np.asarray(eng(np.asarray(x))), dep_mixed)
