@@ -122,17 +122,27 @@ class Engine:
         return eng
 
     @staticmethod
-    def from_store(qmanifest: str, ctx: str = "deploy", **kw) -> "Engine":
+    def from_store(qmanifest: str, ctx: str = "deploy",
+                   int4_runtime: str = "packed", **kw) -> "Engine":
         """Cold-start an engine from a deployed quantized store — no torch,
         no calibration data, no fp32 weights (the artifact contract of
         quant/store.py). ctx: "deploy" | "pallas" | "fused" | "fused2"
         (fused2 = fully-int8 interchange, the fastest measured path).
+
+        int4_runtime: "packed" keeps per-OC int4 weights nibble-packed in
+        HBM (half the residency; ~11% slower convs from the per-forward
+        unpack), "int8" unpacks once at load (full W8A8 rate, int4 artifact
+        on disk only). Group-wise int4 always stays packed.
         """
         from dlq_tpu.manifest import Manifest
         from dlq_tpu.quant import model_quant as MQ
-        from dlq_tpu.quant.store import load_quantized
+        from dlq_tpu.quant.store import load_quantized, materialize_int8
 
         qflat, act_scales, qcfg, extras = load_quantized(qmanifest)
+        if int4_runtime == "int8":
+            qflat = materialize_int8(qflat)
+        elif int4_runtime != "packed":
+            raise ValueError(f"int4_runtime must be 'packed' or 'int8', got {int4_runtime!r}")
         man = Manifest.load(qmanifest)
         mcfg = man.meta.get("config", {})
         model = man.model

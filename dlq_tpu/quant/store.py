@@ -121,6 +121,30 @@ def load_quantized(root: str) -> Tuple[FlatParams, Dict[str, jnp.ndarray], QConf
     return qflat, act_scales, qcfg, extras
 
 
+def materialize_int8(qflat: FlatParams) -> FlatParams:
+    """Unpack every per-OC int4 QTensor to int8 ONCE (exact — same integer
+    values, same scales). Deploy-time choice: the artifact stays 4-bit on
+    disk, but runtime weights are int8, trading 2x HBM residency for the
+    full W8A8 rate (the in-graph per-forward unpack costs ~11% on ResNet,
+    BENCH_NOTES "W4A8 conv models"). Group-wise int4 is left packed (its
+    scales cannot fold into the int8 epilogue)."""
+    from dlq_tpu.quant.quantize import unpack_int4
+
+    out: FlatParams = {}
+    for site, p in qflat.items():
+        qw = p.get("qw")
+        if qw is not None and qw.bits == 4 and qw.group is None:
+            qw = QTensor(
+                values=unpack_int4(qw.values, qw.shape).reshape(qw.layout_shape),
+                scale=qw.scale, zero_point=None, bits=8, axis=qw.axis,
+                group=None, shape=qw.layout_shape, orig_shape=qw.orig_shape,
+            )
+            out[site] = {**p, "qw": qw}
+        else:
+            out[site] = p
+    return out
+
+
 def unflatten_extras(flat: Dict[str, Any]) -> Dict[str, Any]:
     """Inverse of _flatten_extras: dotted names -> nested dicts, with
     all-numeric-key levels converted back to lists (e.g. per-layer LN

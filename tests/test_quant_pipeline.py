@@ -316,3 +316,25 @@ def test_mixed_precision_overrides(setup, tmp_path):
     assert qcfg2.scheme_for("layer4.0.conv1").bits == 4
     eng = Engine.from_store(str(tmp_path / "qmix"), batch=x.shape[0])
     np.testing.assert_array_equal(np.asarray(eng(np.asarray(x))), dep_mixed)
+
+
+def test_w4a8_materialize_int8(setup, tmp_path):
+    """int4_runtime='int8': unpack-at-load must be bit-exact vs the packed
+    runtime (same integer values, same scales; only HBM residency differs)."""
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT4A8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    save_quantized(str(tmp_path / "qm"), "resnet18", qflat, scales, qcfg,
+                   meta={"config": {"num_classes": cfg.num_classes,
+                                    "small_input": cfg.small_input}})
+    e_packed = Engine.from_store(str(tmp_path / "qm"), ctx="fused2", batch=4)
+    e_int8 = Engine.from_store(str(tmp_path / "qm"), ctx="fused2", batch=4,
+                               int4_runtime="int8")
+    a = np.asarray(e_packed(np.asarray(x)))
+    b = np.asarray(e_int8(np.asarray(x)))
+    np.testing.assert_array_equal(a, b)
+    assert all(p["qw"].bits == 8 for p in e_int8.params["qflat"].values())
