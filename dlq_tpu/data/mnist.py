@@ -59,13 +59,22 @@ def load_mnist(
     $DLQ_MNIST_DIR or ./data), deterministic synthetic surrogate otherwise.
     Returns ((Xtr, Ytr), (Xte, Yte), synthetic_flag)."""
     data_dir = data_dir or os.environ.get("DLQ_MNIST_DIR", "data")
-    try:
+    files = [os.path.join(data_dir, f"{p}_{s}.bin")
+             for p in ("X", "y") for s in ("train", "test")]
+    present = [os.path.exists(f) for f in files]
+    if all(present):
+        # real data present: corruption/partial errors PROPAGATE — silently
+        # substituting synthetic data would report numbers measured on fakes
         Xtr, Ytr = load_mnist_bin(data_dir, "train")
         Xte, Yte = load_mnist_bin(data_dir, "test")
         synthetic = False
-    except (FileNotFoundError, ValueError, OSError):
+    elif any(present):
+        raise FileNotFoundError(
+            f"partial MNIST contract in {data_dir}: missing "
+            f"{[f for f, ok in zip(files, present) if not ok]}")
+    else:
         if not allow_synthetic:
-            raise
+            raise FileNotFoundError(f"no MNIST .bin files in {data_dir}")
         Xtr, Ytr = synthetic_mnist(train_n or 10000, seed=0)
         Xte, Yte = synthetic_mnist(test_n or 2000, seed=1)
         synthetic = True

@@ -42,6 +42,7 @@ _DTYPES: Dict[str, Any] = {
     "int8": np.int8,
     "uint8": np.uint8,
     "int4": np.uint8,  # packed
+    "int2": np.int8,   # stored as int8 values in [-1, 1]; bits kept in dtype
 }
 
 

@@ -145,18 +145,13 @@ def qconv2d(
     W8A8 at the full int8 conv rate; the unpack is one elementwise pass over
     the small weight tensor). qw.scale: per-tensor () or per-OC (O,).
     """
-    if qw.bits == 4:
-        if qw.group is not None:
-            raise ValueError(
-                "group-wise int4 conv cannot fold scales post-accumulation; "
-                "use weight-only dequant (DeployCtx weight_only path)")
-        from dlq_tpu.quant.quantize import unpack_int4
+    if qw.group is not None:
+        raise ValueError(
+            "group-wise quantized conv cannot fold scales post-accumulation; "
+            "use weight-only dequant (DeployCtx weight_only path)")
+    from dlq_tpu.quant.quantize import unpack_to_layout
 
-        wq = unpack_int4(qw.values, qw.shape).reshape(qw.layout_shape)
-    elif qw.bits in (2, 8):  # int2 values are stored int8; same int compute
-        wq = qw.values
-    else:
-        raise ValueError(f"unsupported weight bits {qw.bits}")
+    wq = unpack_to_layout(qw)  # int8/int2 as-is, int4 unpacked in-graph
     xq = quantize_act(x, act_scale)
     acc = _conv_int8(xq, wq, stride, padding, groups)
     scale = act_scale * qw.scale  # () or (O,) — broadcasts over NHWC
@@ -184,6 +179,13 @@ def qdense(
     """
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
+    if act_scale is not None and qw.bits == 4 and qw.group is not None:
+        # group-wise W4 + quantized acts: group scales cannot fold into an
+        # int epilogue, so quantize the activations (same decisions as the
+        # simulate oracle) and run the dequantized-weight matmul on them.
+        x2 = (quantize_act(x2, act_scale).astype(jnp.float32)
+              * act_scale).astype(x.dtype)
+        act_scale = None
     if act_scale is not None and qw.bits == 4 and qw.group is None:
         # W4A8: int4 per-OC weights on the int8 MXU rate. Pallas kernel when
         # shapes tile on TPU; otherwise unpack to int8 and fall through to
@@ -216,6 +218,10 @@ def qdense(
                 )
             y = y * scale
     elif act_scale is not None and qw.bits in (2, 8):
+        if qw.group is not None:
+            raise ValueError(
+                "group-wise scales cannot fold into the int matmul epilogue; "
+                "use a per-channel scheme or the weight-only path")
         xq = quantize_act(x2, act_scale)
         if int8_dot_supported(jax.default_backend()):
             acc = jax.lax.dot(xq, qw.values, preferred_element_type=jnp.int32)

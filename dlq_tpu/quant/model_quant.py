@@ -34,39 +34,22 @@ def quantize_weights(flat: FlatParams, qcfg: QConfig) -> FlatParams:
     Conv weights (HWIO) quantize per-OC on axis -1; int4 group-wise weights
     are quantized on the 2D [H*W*I, O] view (group along the contraction).
     """
+    from dlq_tpu.quant.quantize import effective_weight_scheme
+
     out: FlatParams = {}
     for site, p in flat.items():
         w = p["w"]
-        scheme = qcfg.scheme_for(site)
-        if scheme.group is not None:
+        # the odd-K / non-divisible-group int8 fallbacks live in ONE place
+        # (effective_weight_scheme), shared with QAT's fake-quant
+        scheme = effective_weight_scheme(w.shape, qcfg.scheme_for(site))
+        if scheme.group is not None or scheme.bits == 4:
+            # group-wise and nibble-packed tensors quantize on the 2D [K, O]
+            # view (packing/groups run along the contraction axis); the
+            # QTensor keeps that view, orig_shape restores the layout
             K = 1
             for d in w.shape[:-1]:
                 K *= d
-            w2 = w.reshape(K, w.shape[-1])
-            if K % scheme.group != 0 or (scheme.bits == 4 and K % 2 != 0):
-                # fall back to plain per-channel for sites whose contraction
-                # dim doesn't divide the group size (e.g. first conv K=147)
-                import dataclasses as _dc
-
-                fallback = _dc.replace(scheme, group=None, bits=8)
-                qw = quantize_tensor(w, fallback)
-            else:
-                # QTensor keeps the 2D [K, O] view; w_shape restores layout
-                qw = quantize_tensor(w2, scheme)
-        elif scheme.bits == 4:
-            # int4 per-OC (W4A8 / weight-only): nibble packing runs along the
-            # contraction axis, so quantize on the 2D [K, O] view (K = H*W*I
-            # for conv HWIO). Odd-K sites (e.g. the 7x7 C=3 stem, K=147)
-            # cannot pack — fall back to int8 per-channel there.
-            K = 1
-            for d in w.shape[:-1]:
-                K *= d
-            if K % 2 != 0:
-                import dataclasses as _dc
-
-                qw = quantize_tensor(w, _dc.replace(scheme, bits=8))
-            else:
-                qw = quantize_tensor(w.reshape(K, w.shape[-1]), scheme)
+            qw = quantize_tensor(w.reshape(K, w.shape[-1]), scheme)
         else:
             qw = quantize_tensor(w, scheme)
         qw.orig_shape = tuple(w.shape)
@@ -82,13 +65,11 @@ def _deq_weight(p: Dict[str, Any]) -> jnp.ndarray:
 
 
 def _int_weight(qw: QTensor) -> jnp.ndarray:
-    """Integer weight values in the original layout: int8 as-is; per-OC int4
-    unpacked to int8 in-graph (exact — same accumulation either way)."""
-    if qw.bits == 4:
-        from dlq_tpu.quant.quantize import unpack_int4
+    """Integer weight values in the original layout (int4 unpacked in-graph,
+    exact — same accumulation either way)."""
+    from dlq_tpu.quant.quantize import unpack_to_layout
 
-        return unpack_int4(qw.values, qw.shape).reshape(qw.layout_shape)
-    return qw.values.reshape(qw.layout_shape)
+    return unpack_to_layout(qw)
 
 
 class ObserveCtx:

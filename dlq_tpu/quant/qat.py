@@ -52,25 +52,30 @@ def fake_quant_ste(x: jnp.ndarray, scale: jnp.ndarray, qmax: int) -> jnp.ndarray
                      jax.lax.stop_gradient(q))
 
 
-def _weight_scale(w: jnp.ndarray, scheme: QScheme) -> jnp.ndarray:
-    """Live per-step weight scale (stop-gradient), broadcast to w's shape."""
+def _weight_fq(w: jnp.ndarray, scheme: QScheme) -> jnp.ndarray:
+    """Fake-quant a weight under the scheme it will ACTUALLY deploy with:
+    effective_weight_scheme applies the same odd-K / non-divisible-group
+    int8 fallbacks as quantize_weights, so QAT never trains a site at a
+    precision deployment won't use."""
+    from dlq_tpu.quant.quantize import effective_weight_scheme
+
+    scheme = effective_weight_scheme(w.shape, scheme)
     a = jnp.abs(w)
     if scheme.group is not None:
         K = int(np.prod(w.shape[:-1]))
         O = w.shape[-1]
-        if K % scheme.group == 0:
-            g = scheme.group
-            amax = jnp.max(a.reshape(K // g, g, O), axis=1, keepdims=True)
-            s = jnp.broadcast_to(amax, (K // g, g, O)).reshape(w.shape)
-            return jnp.maximum(s / scheme.qmax, 1e-12)
-        # odd-K fallback mirrors quantize_weights: per-channel
-    if scheme.axis is not None:
+        g = scheme.group
+        amax = jnp.max(a.reshape(K // g, g, O), axis=1, keepdims=True)
+        s = jnp.broadcast_to(amax, (K // g, g, O)).reshape(w.shape)
+        scale = jnp.maximum(s / scheme.qmax, 1e-12)
+    elif scheme.axis is not None:
         axis = scheme.axis % w.ndim
         red = tuple(i for i in range(w.ndim) if i != axis)
         amax = jnp.max(a, axis=red, keepdims=True)
+        scale = jnp.maximum(amax / scheme.qmax, 1e-12)
     else:
-        amax = jnp.max(a)
-    return jnp.maximum(amax / scheme.qmax, 1e-12)
+        scale = jnp.maximum(jnp.max(a) / scheme.qmax, 1e-12)
+    return fake_quant_ste(w, scale, scheme.qmax)
 
 
 class QATCtx:
@@ -98,8 +103,7 @@ class QATCtx:
         return fake_quant_ste(x, self.act_scales[name], self.qcfg.acts.qmax)
 
     def _fq_weight(self, name, w):
-        scheme = self.qcfg.scheme_for(name)  # mixed-precision per site
-        return fake_quant_ste(w, _weight_scale(w, scheme), scheme.qmax)
+        return _weight_fq(w, self.qcfg.scheme_for(name))  # per-site scheme
 
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
         p = self.flat[name]
@@ -179,6 +183,8 @@ def qat_train(
     step = make_qat_step(qforward, cfg, qcfg, lr, momentum, ema)
     vel = jax.tree_util.tree_map(jnp.zeros_like, flat)
     n = (len(X) // batch) * batch
+    if n == 0:
+        raise ValueError(f"dataset ({len(X)} rows) smaller than one batch ({batch})")
     rng = np.random.default_rng(seed)
     history = []
     for ep in range(epochs):

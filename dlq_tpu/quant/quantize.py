@@ -135,6 +135,33 @@ def dequantize(qt: QTensor) -> jnp.ndarray:
     return q * qt.scale
 
 
+def effective_weight_scheme(shape: Tuple[int, ...], scheme) -> "QScheme":  # noqa: F821
+    """The scheme a weight of `shape` ACTUALLY quantizes under — the single
+    definition of the odd-K / non-divisible-group int8 fallbacks, shared by
+    quantize_weights (PTQ) and QATCtx (training) so fake-quant semantics
+    always match deployment. [K, O] view: K = prod(shape[:-1])."""
+    import dataclasses as _dc
+
+    K = 1
+    for d in shape[:-1]:
+        K *= d
+    if scheme.group is not None:
+        if K % scheme.group != 0 or (scheme.bits == 4 and K % 2 != 0):
+            return _dc.replace(scheme, group=None, bits=8)
+        return scheme
+    if scheme.bits == 4 and K % 2 != 0:
+        return _dc.replace(scheme, bits=8)  # nibble packing needs even K
+    return scheme
+
+
+def unpack_to_layout(qt: QTensor) -> jnp.ndarray:
+    """Integer weight values in the tensor's original layout: int8 (and
+    int2-stored-as-int8) as-is; per-OC int4 unpacked from nibbles (exact)."""
+    if qt.bits == 4:
+        return unpack_int4(qt.values, qt.shape).reshape(qt.layout_shape)
+    return qt.values.reshape(qt.layout_shape)
+
+
 def quantize_act(x: jnp.ndarray, scale: jnp.ndarray, qmax: int = 127) -> jnp.ndarray:
     """Static symmetric activation quantization: fp -> int8 with given scale.
     Elementwise; XLA fuses it into the surrounding graph."""

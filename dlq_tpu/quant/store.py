@@ -47,7 +47,9 @@ def save_quantized(
     for site, p in qflat.items():
         qw: QTensor = p["qw"]
         scale_name = f"{site}.w.scale"
-        dtype = "int4" if qw.bits == 4 else "int8"
+        # int2 values are stored in int8 arrays but keep their bit-width in
+        # the manifest dtype so the round-trip preserves QTensor.bits
+        dtype = {4: "int4", 2: "int2"}.get(qw.bits, "int8")
         vals = np.asarray(qw.values)
         m.add(
             f"{site}.w", vals,
@@ -95,7 +97,7 @@ def load_quantized(root: str) -> Tuple[FlatParams, Dict[str, jnp.ndarray], QConf
         if tm.kind == "qweight":
             site = tm.name[: -len(".w")]
             scale = jnp.asarray(m.read(tm.quant.scale))
-            bits = 4 if tm.dtype == "int4" else 8
+            bits = {"int4": 4, "int2": 2}.get(tm.dtype, 8)
             values = jnp.asarray(m.read(tm.name))
             qflat.setdefault(site, {})["qw"] = QTensor(
                 values=values,

@@ -130,3 +130,24 @@ def test_qat_weight_only_and_conv():
     step_wo = make_qat_step(qf_ln, cfg, qcfg_wo, lr=0.01)
     flat3, _, _, loss_wo, _ = step_wo(flat, vel, {}, x, y)
     assert np.isfinite(float(loss_wo))
+
+
+def test_qat_deploy_parity_oddk_conv():
+    """Odd-K conv sites (LeNet conv1 K=5*5*1=25) cannot nibble-pack, so
+    quantize_weights deploys them at int8 — QAT's fake-quant must apply the
+    SAME fallback (effective_weight_scheme) or training precision diverges
+    from deployment."""
+    from dlq_tpu.models.lenet import LeNetConfig, flatten_params, init_lenet
+    from dlq_tpu.models.lenet import qforward as qf
+
+    rng = np.random.default_rng(3)
+    cfg = LeNetConfig()
+    flat = flatten_params(init_lenet(jax.random.PRNGKey(3), cfg))
+    x = jnp.asarray(rng.normal(0, 1, (16, 28, 28, 1)), jnp.float32)
+    qcfg = QConfig(weights=QScheme(4, True, -1), acts=QScheme(8, True, None))
+    scales = calibrate(make_sites_fn(qf, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    assert qflat["conv1"]["qw"].bits == 8  # the fallback under test
+    fq = np.asarray(qf(QATCtx(flat, scales, qcfg), x, cfg))
+    dep = np.asarray(qf(DeployCtx(qflat, scales, qcfg), x, cfg))
+    assert numerics.diff(fq, dep).cosine > 0.999
