@@ -24,6 +24,7 @@ SCHEMES = {
     "int8_pc": "INT8_PER_CHANNEL",
     "int8_pt": "INT8_PER_TENSOR",
     "int4_wo": "INT4_WEIGHT_ONLY_G128",
+    "int4a8": "INT4A8_PER_CHANNEL",
 }
 
 
@@ -79,6 +80,9 @@ def main():
     ap.add_argument("--calib_shape", default=None, help="e.g. 8,224,224,3")
     ap.add_argument("--calib_batches", type=int, default=4)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--gptq", action="store_true",
+                    help="Hessian-aware rounding (quant/gptq.py) instead of "
+                         "round-to-nearest; ~5x lower int4 output error")
     args = ap.parse_args()
 
     import dataclasses
@@ -98,26 +102,33 @@ def main():
         calibration=args.method, percentile=args.percentile,
     )
 
+    if args.calib:
+        shape = tuple(int(s) for s in args.calib_shape.split(","))
+        data = np.fromfile(args.calib, np.float32).reshape(shape)
+        batches = [jnp.asarray(data[i : i + args.batch])
+                   for i in range(0, len(data), args.batch)]
+    else:
+        # synthetic normalized batches (document the fallback in meta)
+        rng = np.random.default_rng(0)
+        if man.model == "mlp":
+            shape = (args.batch, cfg.in_dim)
+        else:
+            size = 32 if getattr(cfg, "small_input", False) else getattr(cfg, "image_size", 224)
+            shape = (args.batch, size, size, 3)
+        batches = [jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+                   for _ in range(args.calib_batches)]
+
     act_scales = None
     if not qcfg.weight_only:
-        if args.calib:
-            shape = tuple(int(s) for s in args.calib_shape.split(","))
-            data = np.fromfile(args.calib, np.float32).reshape(shape)
-            batches = [jnp.asarray(data[i : i + args.batch])
-                       for i in range(0, len(data), args.batch)]
-        else:
-            # synthetic normalized batches (document the fallback in meta)
-            rng = np.random.default_rng(0)
-            if man.model == "mlp":
-                shape = (args.batch, cfg.in_dim)
-            else:
-                size = 32 if getattr(cfg, "small_input", False) else getattr(cfg, "image_size", 224)
-                shape = (args.batch, size, size, 3)
-            batches = [jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
-                       for _ in range(args.calib_batches)]
         act_scales = calibrate(make_sites_fn(qforward, cfg), flat, batches, qcfg)
 
-    qflat = quantize_weights(flat, qcfg)
+    if args.gptq:
+        from dlq_tpu.quant.gptq import collect_hessians, gptq_quantize_weights
+
+        col = collect_hessians(qforward, flat, cfg, batches)
+        qflat = gptq_quantize_weights(flat, qcfg, col)
+    else:
+        qflat = quantize_weights(flat, qcfg)
     extras = None
     if man.model == "deit_tiny":
         from dlq_tpu.models.vit import vit_extras
@@ -127,7 +138,8 @@ def main():
                           extras=extras,
                           meta={"source_manifest": os.path.abspath(args.manifest),
                                 "config": man.meta.get("config", {}),
-                                "calib": args.calib or "synthetic"})
+                                "calib": args.calib or "synthetic",
+                                "rounding": "gptq" if args.gptq else "rtn"})
     fp32_bytes = sum(int(np.prod(p["qw"].layout_shape)) * 4 for p in qflat.values())
     q_bytes = sum(p["qw"].nbytes for p in qflat.values())
     print(f"[OK] {args.scheme} ({args.method}) -> {path}  "
