@@ -48,7 +48,8 @@ class ResNetConfig:
 
     @property
     def blocks_per_stage(self) -> Tuple[int, ...]:
-        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}[self.depth]
+        return {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[self.depth]
 
     @property
     def bottleneck(self) -> bool:
@@ -433,4 +434,16 @@ def _build_resnet34(**kw):
 @register("resnet50")
 def _build_resnet50(**kw):
     cfg = ResNetConfig(depth=50, **kw)
+    return cfg, init_resnet, resnet_forward
+
+
+@register("resnet101")
+def _build_resnet101(**kw):
+    cfg = ResNetConfig(depth=101, **kw)
+    return cfg, init_resnet, resnet_forward
+
+
+@register("resnet152")
+def _build_resnet152(**kw):
+    cfg = ResNetConfig(depth=152, **kw)
     return cfg, init_resnet, resnet_forward

@@ -338,3 +338,21 @@ def test_w4a8_materialize_int8(setup, tmp_path):
     b = np.asarray(e_int8(np.asarray(x)))
     np.testing.assert_array_equal(a, b)
     assert all(p["qw"].bits == 8 for p in e_int8.params["qflat"].values())
+
+
+def test_resnet_deep_variants():
+    """ResNet-101/152 (torchvision stage counts) build, register, and run
+    the quantized deploy path."""
+    from dlq_tpu.models.registry import get_model
+
+    cfg, init, fwd = get_model("resnet101", num_classes=8, small_input=True)
+    assert cfg.blocks_per_stage == (3, 4, 23, 3) and cfg.bottleneck
+    params = init(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], INT8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+    dep = np.asarray(qforward(DeployCtx(qflat, scales, INT8_PER_CHANNEL), x, cfg))
+    ref = np.asarray(fwd(params, x, cfg))
+    assert numerics.diff(dep, ref).cosine > 0.999
+    assert get_model("resnet152", num_classes=8)[0].blocks_per_stage == (3, 8, 36, 3)
