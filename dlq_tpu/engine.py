@@ -96,25 +96,36 @@ class Engine:
         calib_batches: Optional[Iterable] = None,
         act_scales: Optional[Dict[str, jnp.ndarray]] = None,
         simulate: bool = False,
+        dynamic: bool = False,
         **kw,
     ) -> "Engine":
         """PTQ an fp32 flat-param model into a deployed engine.
 
-        calib_batches is required unless qcfg is weight-only or act_scales
-        are provided (e.g. loaded from a quantized manifest).
+        calib_batches is required unless qcfg is weight-only, act_scales are
+        provided (e.g. loaded from a quantized manifest), or dynamic=True
+        (calibration-free: runtime per-batch activation scales).
         """
-        if not qcfg.weight_only and act_scales is None:
+        from dlq_tpu.quant.model_quant import DynamicDeployCtx
+
+        if not qcfg.weight_only and act_scales is None and not dynamic:
             if calib_batches is None:
-                raise ValueError("activation quantization needs calib_batches or act_scales")
+                raise ValueError(
+                    "activation quantization needs calib_batches, act_scales,"
+                    " or dynamic=True")
             sites_fn = make_sites_fn(qforward, cfg)
             act_scales = calibrate(sites_fn, flat_params, calib_batches, qcfg)
         qflat = quantize_weights(flat_params, qcfg)
-        Ctx = SimulateCtx if simulate else DeployCtx
         payload = {"qflat": qflat, "scales": act_scales or {}}
 
-        def fwd(p, x):
-            ctx = Ctx(p["qflat"], p["scales"], qcfg)
-            return qforward(ctx, x, cfg)
+        if dynamic and not qcfg.weight_only:
+            def fwd(p, x):
+                return qforward(DynamicDeployCtx(p["qflat"], qcfg), x, cfg)
+        else:
+            Ctx = SimulateCtx if simulate else DeployCtx
+
+            def fwd(p, x):
+                ctx = Ctx(p["qflat"], p["scales"], qcfg)
+                return qforward(ctx, x, cfg)
 
         eng = Engine(fwd, payload, **kw)
         eng.act_scales = act_scales
@@ -217,12 +228,18 @@ class Engine:
                              attn_impl=attn)
         else:
             raise ValueError(f"from_store: unsupported model {model}")
-        Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
-               "fused": MQ.FusedDeployCtx, "fused2": MQ.FullFusedCtx}[ctx]
         payload = {"qflat": qflat, "scales": act_scales}
+        if ctx == "dynamic":
+            # calibration-free runtime act scales (works on stores saved
+            # without act scales at all)
+            def fwd(p, x):
+                return qf(MQ.DynamicDeployCtx(p["qflat"], qcfg), x, cfg)
+        else:
+            Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
+                   "fused": MQ.FusedDeployCtx, "fused2": MQ.FullFusedCtx}[ctx]
 
-        def fwd(p, x):
-            return qf(Ctx(p["qflat"], p["scales"], qcfg), x, cfg)
+            def fwd(p, x):
+                return qf(Ctx(p["qflat"], p["scales"], qcfg), x, cfg)
 
         eng = Engine(fwd, payload, name=f"{model}_{ctx}", **kw)
         eng.qcfg = qcfg

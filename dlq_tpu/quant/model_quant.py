@@ -121,6 +121,33 @@ class DeployCtx:
         return qdense(x, p["qw"], p.get("b"), act_scale=scale, fuse_relu=fuse_relu)
 
 
+class DynamicDeployCtx(DeployCtx):
+    """Calibration-free W8A8: per-batch activation scales computed at
+    RUNTIME (one amax reduction per site, fused by XLA into the surrounding
+    graph) instead of static calibrated scales. Deploys a quantized model
+    with no calibration data at a small per-site reduction cost; on a batch
+    equal to a minmax calibration batch it is bit-identical to DeployCtx.
+    fp32 interchange only (dynamic scales can't pre-commit an int8 wire
+    format between ops)."""
+
+    def __init__(self, qflat: FlatParams, qcfg: QConfig):
+        super().__init__(qflat, {}, qcfg)
+
+    def _scale(self, x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        return jnp.maximum(amax / self.qcfg.acts.qmax, 1e-12)
+
+    def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
+        p = self.qflat[name]
+        return qconv2d(x, p["qw"], p.get("b"), self._scale(x), stride=stride,
+                       padding=padding, groups=groups, fuse_relu=fuse_relu)
+
+    def dense(self, name, x, *, fuse_relu=False):
+        p = self.qflat[name]
+        return qdense(x, p["qw"], p.get("b"), act_scale=self._scale(x),
+                      fuse_relu=fuse_relu)
+
+
 class SimulateCtx:
     """fp32 oracle with identical quantization decisions (fake-quant)."""
 

@@ -356,3 +356,28 @@ def test_resnet_deep_variants():
     ref = np.asarray(fwd(params, x, cfg))
     assert numerics.diff(dep, ref).cosine > 0.999
     assert get_model("resnet152", num_classes=8)[0].blocks_per_stage == (3, 8, 36, 3)
+
+
+def test_dynamic_act_quantization(setup):
+    """Calibration-free deploy: runtime per-batch scales. Tracks both the
+    calibrated deploy and fp32 closely (scales differ slightly after the
+    first site: observe-pass inputs are fp32 intermediates, deploy-pass
+    inputs are quantized intermediates), and the Engine runs it with no
+    calibration data at all."""
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.quant.model_quant import DynamicDeployCtx
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    ref = np.asarray(qforward(DeployCtx(qflat, scales, qcfg), x, cfg))
+    dyn = np.asarray(qforward(DynamicDeployCtx(qflat, qcfg), x, cfg))
+    assert numerics.diff(dyn, ref).cosine > 0.999
+    assert numerics.diff(dyn, fp32).cosine > 0.999
+    assert numerics.top1_agreement(dyn, fp32) == 1.0
+
+    eng = Engine.quantized(qforward, flat, cfg, qcfg, dynamic=True,
+                           batch=x.shape[0])
+    # jit fusion reorders fp32 epilogue math vs the op-by-op run
+    np.testing.assert_allclose(np.asarray(eng(np.asarray(x))), dyn, atol=1e-5)
