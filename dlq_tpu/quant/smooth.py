@@ -1,0 +1,154 @@
+"""SmoothQuant: per-input-channel activation-outlier migration (W8A8 aid).
+
+Per-tensor activation scales are hostage to the worst channel: one outlier
+channel forces a huge scale and crushes everyone else's resolution.
+SmoothQuant (Xiao et al., arXiv:2211.10438 — see PAPERS.md) rebalances each
+quantized matmul site with per-input-channel factors
+
+    s_j = amax_act_j^alpha / amax_w_j^(1-alpha)
+
+computing y = (x / s) (s * W): weights absorb the outliers offline (exact),
+activations flatten so a per-tensor int8 scale fits. The runtime cost is one
+per-channel multiply before quantize_act, which XLA fuses into the
+quantize; the weight scaling folds into the stored integer weights.
+
+Pipeline: `collect_channel_amax` -> `compute_smooth` -> `apply_smooth`
+(offline, exact) -> calibrate/quantize the smoothed model with
+`SmoothObserveCtx`-collected scales -> deploy with `SmoothDeployCtx`.
+fp32-interchange contexts only (the int8-wire fused ctxs pre-commit a
+scalar wire scale that per-channel smoothing would break).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dlq_tpu.quant.model_quant import DeployCtx, FlatParams, ObserveCtx, SimulateCtx
+
+
+class ChannelAmaxCollector:
+    """fp32 forward recording per-input-channel abs-max at every site
+    (channels = last input axis for both NHWC conv and [.., K] dense)."""
+
+    def __init__(self, flat: FlatParams):
+        self._obs = ObserveCtx(flat)
+        self.amax: Dict[str, np.ndarray] = {}
+
+    def has(self, name):
+        return self._obs.has(name)
+
+    def _record(self, name, x):
+        a = np.asarray(jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1))))
+        prev = self.amax.get(name)
+        self.amax[name] = a if prev is None else np.maximum(prev, a)
+
+    def conv(self, name, x, **kw):
+        self._record(name, x)
+        return self._obs.conv(name, x, **kw)
+
+    def dense(self, name, x, **kw):
+        self._record(name, x)
+        return self._obs.dense(name, x, **kw)
+
+
+def collect_channel_amax(qforward, flat: FlatParams, cfg, batches) -> Dict[str, np.ndarray]:
+    col = ChannelAmaxCollector(flat)
+    for x in batches:
+        qforward(col, jnp.asarray(x), cfg)
+    return col.amax
+
+
+def compute_smooth(flat: FlatParams, act_amax: Dict[str, np.ndarray],
+                   alpha: float = 0.5) -> Dict[str, np.ndarray]:
+    """Per-site smoothing vectors s [C_in]. Sites without recorded stats
+    (or grouped convs, where per-channel migration crosses group boundaries)
+    are skipped."""
+    out: Dict[str, np.ndarray] = {}
+    for site, a in act_amax.items():
+        w = np.asarray(flat[site]["w"], np.float32)
+        cin = w.shape[-2]
+        if a.shape[-1] != cin:
+            continue  # grouped conv (dw weights have I=1) — skip
+        # per-input-channel weight amax: reduce every axis except I
+        red = tuple(i for i in range(w.ndim) if i != w.ndim - 2)
+        wmax = np.abs(w).max(axis=red)
+        a = np.maximum(a.astype(np.float64), 1e-5)
+        wmax = np.maximum(wmax.astype(np.float64), 1e-5)
+        s = (a ** alpha) / (wmax ** (1.0 - alpha))
+        out[site] = np.clip(s, 1e-5, 1e5).astype(np.float32)
+    return out
+
+
+def apply_smooth(flat: FlatParams, smooth: Dict[str, np.ndarray]) -> FlatParams:
+    """Exact offline rebalance: W'[.., j, :] = s_j * W[.., j, :]. The
+    matching x/s happens at runtime in the Smooth* contexts."""
+    out: FlatParams = {}
+    for site, p in flat.items():
+        s = smooth.get(site)
+        if s is None:
+            out[site] = p
+            continue
+        w = jnp.asarray(p["w"])
+        shape = [1] * w.ndim
+        shape[-2] = -1
+        out[site] = {**p, "w": w * jnp.asarray(s).reshape(shape)}
+    return out
+
+
+def _div(x, s: Optional[jnp.ndarray]):
+    if s is None:
+        return x
+    shape = [1] * x.ndim
+    shape[-1] = -1
+    return x * (1.0 / jnp.asarray(s)).reshape(shape)
+
+
+class _SmoothMixin:
+    """Applies x/s before the underlying ctx's quantize-and-compute."""
+
+    def _set_smooth(self, smooth: Dict[str, Any]):
+        self.smooth = {k: jnp.asarray(v) for k, v in (smooth or {}).items()}
+
+    def conv(self, name, x, **kw):
+        return super().conv(name, _div(x, self.smooth.get(name)), **kw)
+
+    def dense(self, name, x, **kw):
+        return super().dense(name, _div(x, self.smooth.get(name)), **kw)
+
+
+class SmoothObserveCtx(_SmoothMixin, ObserveCtx):
+    """Observe pass over the SMOOTHED model (x/s inputs) — what calibrate
+    must see so the act scales match deployment."""
+
+    def __init__(self, flat, smooth):
+        super().__init__(flat)
+        self._set_smooth(smooth)
+
+
+class SmoothDeployCtx(_SmoothMixin, DeployCtx):
+    def __init__(self, qflat, act_scales, qcfg, smooth):
+        super().__init__(qflat, act_scales, qcfg)
+        self._set_smooth(smooth)
+
+
+class SmoothSimulateCtx(_SmoothMixin, SimulateCtx):
+    def __init__(self, qflat, act_scales, qcfg, smooth):
+        super().__init__(qflat, act_scales, qcfg)
+        self._set_smooth(smooth)
+
+
+def smooth_calibrate(qforward, flat_smoothed: FlatParams, cfg, batches,
+                     qcfg, smooth: Dict[str, np.ndarray]):
+    """calibrate() over the smoothed model: per-site per-tensor act scales
+    measured on the x/s inputs."""
+    from dlq_tpu.quant.calibrate import calibrate
+
+    def sites_fn(fp, x):
+        ctx = SmoothObserveCtx(fp, smooth)
+        qforward(ctx, x, cfg)
+        return ctx.sites
+
+    return calibrate(sites_fn, flat_smoothed, batches, qcfg)
