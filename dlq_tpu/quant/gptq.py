@@ -44,6 +44,8 @@ class HessianCollector:
     def __init__(self, flat: FlatParams):
         self.flat = flat
         self.H: Dict[str, np.ndarray] = {}
+        self.xsum: Dict[str, np.ndarray] = {}  # sum of inputs (for E[x])
+        self.n: Dict[str, int] = {}
         self.meta: Dict[str, Dict[str, Any]] = {}
 
     def has(self, name):
@@ -53,6 +55,12 @@ class HessianCollector:
         h = np.asarray(jnp.matmul(X2.T, X2, preferred_element_type=jnp.float32),
                        np.float64)
         self.H[name] = self.H.get(name, 0.0) + h
+        self.xsum[name] = self.xsum.get(name, 0.0) + np.asarray(
+            jnp.sum(X2, axis=0), np.float64)
+        self.n[name] = self.n.get(name, 0) + X2.shape[0]
+
+    def mean(self, name) -> Optional[np.ndarray]:
+        return (self.xsum[name] / self.n[name]) if name in self.xsum else None
 
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
         p = self.flat[name]
@@ -196,4 +204,34 @@ def gptq_quantize_weights(
                      bits=scheme.bits, axis=base.axis, group=base.group,
                      shape=base.shape, orig_shape=base.orig_shape)
         out[site] = {"qw": qw, "b": p.get("b")}
+    return out
+
+def bias_correct(flat: FlatParams, qflat: FlatParams,
+                 collector: HessianCollector) -> FlatParams:
+    """Analytic first-order bias correction (Nagel et al., DFQ): weight
+    quantization shifts each output channel's mean by E[(W - What)^T x];
+    absorb it into the bias using the collector's input means — no extra
+    forward passes, exact to first order, composes with RTN/GPTQ/any scheme.
+    Sites without collected stats (grouped convs) pass through unchanged."""
+    from dlq_tpu.quant.quantize import dequantize
+
+    out: FlatParams = {}
+    for site, p in qflat.items():
+        mu = collector.mean(site)
+        kind = collector.meta.get(site, {}).get("kind")
+        if mu is None or kind == "grouped":
+            out[site] = p
+            continue
+        w = np.asarray(flat[site]["w"], np.float64)
+        qw = p["qw"]
+        wq = np.asarray(dequantize(qw), np.float64).reshape(qw.layout_shape)
+        if w.ndim == 4:  # collector mean is IHW-ordered (patches layout)
+            dw2 = (w - wq).transpose(2, 0, 1, 3).reshape(-1, w.shape[-1])
+        else:
+            dw2 = w - wq
+        delta = mu @ dw2  # E[(W - What)^T x] per output channel
+        b = p.get("b")
+        b_new = jnp.asarray((0.0 if b is None else np.asarray(b, np.float64))
+                            + delta, jnp.float32)
+        out[site] = {**p, "b": b_new}
     return out

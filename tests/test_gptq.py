@@ -117,3 +117,36 @@ def test_gptq_group_wise_weight_only():
     from dlq_tpu.models.mlp import mlp_forward
     ref = np.asarray(mlp_forward(init_mlp(jax.random.PRNGKey(1), cfg), x, cfg))
     assert numerics.diff(y_g, ref).rel_l2 <= numerics.diff(y_r, ref).rel_l2 * 1.05
+
+
+def test_bias_correction_removes_mean_shift():
+    """On a biased input distribution, weight quantization shifts output
+    means; the analytic correction must cancel the shift on the calibration
+    distribution and lower e2e error on held-out data from it."""
+    from dlq_tpu.quant.gptq import bias_correct
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+        resnet_forward,
+    )
+
+    cfg = ResNetConfig(depth=18, num_classes=10, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(4), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    rng = np.random.default_rng(4)
+    mk = lambda n: jnp.asarray(rng.normal(0.5, 1, (n, 32, 32, 3)), jnp.float32)  # noqa: E731
+    xc, x = mk(16), mk(16)
+    fp32 = np.asarray(resnet_forward(params, x, cfg))
+    qcfg = INT4A8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [xc], qcfg)
+    col = collect_hessians(qforward, flat, cfg, [xc])
+    q0 = quantize_weights(flat, qcfg)
+    q1 = bias_correct(flat, q0, col)
+    e0 = numerics.diff(np.asarray(qforward(DeployCtx(q0, scales, qcfg), x, cfg)), fp32)
+    e1 = numerics.diff(np.asarray(qforward(DeployCtx(q1, scales, qcfg), x, cfg)), fp32)
+    assert e1.rel_l2 < e0.rel_l2, (e1, e0)
+
+    # composes with GPTQ
+    qg = bias_correct(flat, gptq_quantize_weights(flat, qcfg, col), col)
+    eg = numerics.diff(np.asarray(qforward(DeployCtx(qg, scales, qcfg), x, cfg)), fp32)
+    assert eg.rel_l2 <= e1.rel_l2 * 1.05
