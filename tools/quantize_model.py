@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--gptq", action="store_true",
                     help="Hessian-aware rounding (quant/gptq.py) instead of "
                          "round-to-nearest; ~5x lower int4 output error")
+    ap.add_argument("--bias-correct", action="store_true",
+                    help="absorb the quantization-induced output-mean shift "
+                         "into biases (analytic, composes with --gptq)")
     args = ap.parse_args()
 
     import dataclasses
@@ -122,13 +125,21 @@ def main():
     if not qcfg.weight_only:
         act_scales = calibrate(make_sites_fn(qforward, cfg), flat, batches, qcfg)
 
-    if args.gptq:
-        from dlq_tpu.quant.gptq import collect_hessians, gptq_quantize_weights
+    col = None
+    if args.gptq or args.bias_correct:
+        from dlq_tpu.quant.gptq import collect_hessians
 
         col = collect_hessians(qforward, flat, cfg, batches)
+    if args.gptq:
+        from dlq_tpu.quant.gptq import gptq_quantize_weights
+
         qflat = gptq_quantize_weights(flat, qcfg, col)
     else:
         qflat = quantize_weights(flat, qcfg)
+    if args.bias_correct:
+        from dlq_tpu.quant.gptq import bias_correct
+
+        qflat = bias_correct(flat, qflat, col)
     extras = None
     if man.model == "deit_tiny":
         from dlq_tpu.models.vit import vit_extras
