@@ -103,3 +103,37 @@ def test_smooth_skips_grouped_and_conv_runs():
     dep = np.asarray(qf(SmoothDeployCtx(q_s, scales, qcfg, smooth), x, cfg))
     ref = np.asarray(mobilenetv2_forward(params, x, cfg))
     assert numerics.diff(dep, ref).cosine > 0.99
+
+
+def test_compute_smooth_auto_not_worse():
+    """Auto-alpha (AWQ-style, Hessian-scored) must match or beat both plain
+    quantization and the fixed alpha=0.5 recipe on the calibration
+    distribution's output error."""
+    from dlq_tpu.quant.gptq import collect_hessians
+    from dlq_tpu.quant.smooth import compute_smooth_auto
+
+    rng = np.random.default_rng(5)
+    cfg = MLPConfig(in_dim=128, hidden=(64,), num_classes=10)
+    params = init_mlp(jax.random.PRNGKey(5), cfg)
+    flat = flatten_params(params)
+    hot = [2, 64, 100]
+    calib = [jnp.asarray(_outlier_batch(rng, 64, 128, hot), jnp.float32)]
+    x = jnp.asarray(_outlier_batch(rng, 64, 128, hot), jnp.float32)
+    fp32 = np.asarray(mlp_forward(params, x, cfg))
+    qcfg = INT8_PER_CHANNEL
+
+    amax = collect_channel_amax(qforward, flat, cfg, calib)
+    col = collect_hessians(qforward, flat, cfg, calib)
+
+    def run(smooth):
+        fs = apply_smooth(flat, smooth)
+        sc = smooth_calibrate(qforward, fs, cfg, calib, qcfg, smooth)
+        q = quantize_weights(fs, qcfg)
+        dep = np.asarray(qforward(SmoothDeployCtx(q, sc, qcfg, smooth), x, cfg))
+        return numerics.diff(dep, fp32).rel_l2
+
+    e_plain = run({})
+    e_fixed = run(compute_smooth(flat, amax))
+    e_auto = run(compute_smooth_auto(flat, amax, col, qcfg))
+    assert e_auto <= e_plain * 1.02 and e_auto <= e_fixed * 1.1, (
+        e_plain, e_fixed, e_auto)
