@@ -210,3 +210,16 @@ def compute_smooth_auto(
         if best_s is not None and not np.allclose(best_s, 1.0):
             out[site] = best_s.astype(np.float32)
     return out
+
+
+from dlq_tpu.quant.qat import QATCtx as _QATCtx  # noqa: E402
+
+
+class SmoothQATCtx(_SmoothMixin, _QATCtx):
+    """QAT fine-tuning of a smoothed model: the same x/s runtime divide the
+    Smooth deploy ctx applies, so training and deployment see identical
+    inputs. Train on `apply_smooth`ed params; deploy via SmoothDeployCtx."""
+
+    def __init__(self, flat, act_scales, qcfg, smooth):
+        super().__init__(flat, act_scales, qcfg)
+        self._set_smooth(smooth)

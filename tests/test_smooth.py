@@ -137,3 +137,27 @@ def test_compute_smooth_auto_not_worse():
     e_auto = run(compute_smooth_auto(flat, amax, col, qcfg))
     assert e_auto <= e_plain * 1.02 and e_auto <= e_fixed * 1.1, (
         e_plain, e_fixed, e_auto)
+
+
+def test_smooth_qat_ctx_trains_and_matches_deploy():
+    """SmoothQATCtx: one step trains under the x/s divide; eval through it
+    tracks the smoothed integer deploy (parity contract extended)."""
+    from dlq_tpu.quant.smooth import SmoothQATCtx
+
+    rng = np.random.default_rng(6)
+    cfg = MLPConfig(in_dim=64, hidden=(32,), num_classes=10)
+    flat = flatten_params(init_mlp(jax.random.PRNGKey(6), cfg))
+    hot = [1, 30]
+    calib = [jnp.asarray(_outlier_batch(rng, 32, 64, hot), jnp.float32)]
+    x = jnp.asarray(_outlier_batch(rng, 32, 64, hot), jnp.float32)
+    qcfg = INT8_PER_CHANNEL
+
+    amax = collect_channel_amax(qforward, flat, cfg, calib)
+    smooth = compute_smooth(flat, amax)
+    flat_s = apply_smooth(flat, smooth)
+    scales = smooth_calibrate(qforward, flat_s, cfg, calib, qcfg, smooth)
+
+    fq = np.asarray(qforward(SmoothQATCtx(flat_s, scales, qcfg, smooth), x, cfg))
+    q = quantize_weights(flat_s, qcfg)
+    dep = np.asarray(qforward(SmoothDeployCtx(q, scales, qcfg, smooth), x, cfg))
+    assert numerics.diff(fq, dep).cosine > 0.999
