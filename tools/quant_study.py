@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--runlog", default="runlogs")
+    ap.add_argument("--full", action="store_true",
+                    help="add GPTQ and composed-recipe (smooth+GPTQ+bias) rows")
     args = ap.parse_args()
 
     import dataclasses
@@ -97,16 +99,41 @@ def main():
     recipes = []
     for scheme_name in ("INT8_PER_TENSOR", "INT8_PER_CHANNEL", "INT4_WEIGHT_ONLY_G128"):
         for method in (("minmax", "percentile", "mse") if "8" in scheme_name else ("minmax",)):
-            recipes.append((scheme_name, method))
+            recipes.append((scheme_name, method, "rtn"))
+    if args.full:
+        # the modern-toolbox rows: GPTQ rounding and the composed recipe
+        recipes += [("INT4A8_PER_CHANNEL", "minmax", "rtn"),
+                    ("INT4A8_PER_CHANNEL", "minmax", "gptq"),
+                    ("INT4A8_PER_CHANNEL", "minmax", "ptq_auto"),
+                    ("INT8_PER_CHANNEL", "minmax", "ptq_auto")]
 
-    print(f"{'scheme':<22} {'calib':<11} {'top1':>6} {'top5':>6} {'cosine':>9} {'rel_l2':>9}")
-    for scheme_name, method in recipes:
+    print(f"{'scheme':<22} {'calib':<11} {'round':<9} {'top1':>6} {'top5':>6} "
+          f"{'cosine':>9} {'rel_l2':>9}")
+    for scheme_name, method, rounding in recipes:
         qcfg = dataclasses.replace(getattr(QC, scheme_name), calibration=method)
-        scales = None
-        if not qcfg.weight_only:
-            scales = calibrate(make_sites_fn(qf, cfg), flat, calib, qcfg)
-        qflat = quantize_weights(flat, qcfg)
-        q_fn = jax.jit(lambda p, xb: qf(DeployCtx(p["q"], p["s"], qcfg), xb, cfg))
+        smooth = {}
+        if rounding == "ptq_auto":
+            from dlq_tpu.quant.recipe import ptq_auto
+
+            qflat, scales, smooth = ptq_auto(qf, flat, cfg, calib, qcfg)
+        else:
+            scales = None
+            if not qcfg.weight_only:
+                scales = calibrate(make_sites_fn(qf, cfg), flat, calib, qcfg)
+            if rounding == "gptq":
+                from dlq_tpu.quant.gptq import collect_hessians, gptq_quantize_weights
+
+                qflat = gptq_quantize_weights(
+                    flat, qcfg, collect_hessians(qf, flat, cfg, calib))
+            else:
+                qflat = quantize_weights(flat, qcfg)
+        if smooth:
+            from dlq_tpu.quant.smooth import SmoothDeployCtx
+
+            q_fn = jax.jit(lambda p, xb: qf(
+                SmoothDeployCtx(p["q"], p["s"], qcfg, smooth), xb, cfg))
+        else:
+            q_fn = jax.jit(lambda p, xb: qf(DeployCtx(p["q"], p["s"], qcfg), xb, cfg))
         payload = {"q": qflat, "s": scales or {}}
         got = np.concatenate([
             np.asarray(q_fn(payload, jnp.asarray(X[i : i + args.batch])))
@@ -119,9 +146,11 @@ def main():
             "cosine": d.cosine,
             "rel_l2": d.rel_l2,
         }
-        logger.log(row, params={"model": args.model, "scheme": scheme_name, "calib": method})
-        print(f"{scheme_name:<22} {method:<11} {row['top1_agreement']:>6.3f} "
-              f"{row['top5_agreement']:>6.3f} {row['cosine']:>9.5f} {row['rel_l2']:>9.5f}")
+        logger.log(row, params={"model": args.model, "scheme": scheme_name,
+                                "calib": method, "rounding": rounding})
+        print(f"{scheme_name:<22} {method:<11} {rounding:<9} "
+              f"{row['top1_agreement']:>6.3f} {row['top5_agreement']:>6.3f} "
+              f"{row['cosine']:>9.5f} {row['rel_l2']:>9.5f}")
     print(f"[OK] rows logged to {logger.path}; export: RunLogger(root).export_xlsx()")
 
 
