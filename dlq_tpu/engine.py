@@ -107,6 +107,12 @@ class Engine:
         """
         from dlq_tpu.quant.model_quant import DynamicDeployCtx
 
+        if dynamic and qcfg.weight_only:
+            raise ValueError("dynamic=True quantizes activations at runtime; "
+                             "qcfg is weight-only (acts=None)")
+        if dynamic and simulate:
+            raise ValueError("simulate=True is the static fake-quant oracle; "
+                             "it has no dynamic variant")
         if not qcfg.weight_only and act_scales is None and not dynamic:
             if calib_batches is None:
                 raise ValueError(
@@ -230,8 +236,13 @@ class Engine:
             raise ValueError(f"from_store: unsupported model {model}")
         payload = {"qflat": qflat, "scales": act_scales}
         if ctx == "dynamic":
-            # calibration-free runtime act scales (works on stores saved
-            # without act scales at all)
+            # calibration-free runtime act scales (works on stores whose act
+            # scales were never calibrated; needs an acts scheme to quantize to)
+            if qcfg.weight_only:
+                raise ValueError(
+                    "ctx='dynamic' quantizes activations at runtime; this "
+                    "store is weight-only (acts=None) — use ctx='deploy'")
+
             def fwd(p, x):
                 return qf(MQ.DynamicDeployCtx(p["qflat"], qcfg), x, cfg)
         else:

@@ -41,10 +41,13 @@ class HessianCollector:
     input Hessian H = sum X^T X (float64, IHW-ordered K for convs — the
     ordering `lax.conv_general_dilated_patches` produces)."""
 
-    def __init__(self, flat: FlatParams):
+    def __init__(self, flat: FlatParams, sample_rows: int = 512):
         self.flat = flat
         self.H: Dict[str, np.ndarray] = {}
         self.xsum: Dict[str, np.ndarray] = {}  # sum of inputs (for E[x])
+        self.col_amax: Dict[str, np.ndarray] = {}  # per-column |x| max
+        self.xsample: Dict[str, np.ndarray] = {}  # first rows (empirical scoring)
+        self.sample_rows = sample_rows
         self.n: Dict[str, int] = {}
         self.meta: Dict[str, Dict[str, Any]] = {}
 
@@ -58,9 +61,30 @@ class HessianCollector:
         self.xsum[name] = self.xsum.get(name, 0.0) + np.asarray(
             jnp.sum(X2, axis=0), np.float64)
         self.n[name] = self.n.get(name, 0) + X2.shape[0]
+        ca = np.asarray(jnp.max(jnp.abs(X2), axis=0), np.float64)
+        prev = self.col_amax.get(name)
+        self.col_amax[name] = ca if prev is None else np.maximum(prev, ca)
+        have = self.xsample.get(name)
+        if have is None or have.shape[0] < self.sample_rows:
+            take = self.sample_rows - (0 if have is None else have.shape[0])
+            rows = np.asarray(X2[:take], np.float32)
+            self.xsample[name] = rows if have is None else np.concatenate([have, rows])
 
     def mean(self, name) -> Optional[np.ndarray]:
         return (self.xsum[name] / self.n[name]) if name in self.xsum else None
+
+    def channel_amax(self, name) -> Optional[np.ndarray]:
+        """Per-input-channel abs-max reconstructed from the column amax
+        (conv columns are channel-major IHW: reshape [C, kh*kw] and reduce).
+        Lets smooth/auto-alpha reuse this collection instead of a second
+        forward pass over the calibration set."""
+        a = self.col_amax.get(name)
+        if a is None:
+            return None
+        m = self.meta.get(name, {})
+        if m.get("kind") == "conv":
+            return a.reshape(m["cin"], -1).max(1)
+        return a
 
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
         p = self.flat[name]
@@ -74,7 +98,7 @@ class HessianCollector:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             self._accum(name, patches.reshape(-1, patches.shape[-1]))
-            self.meta[name] = {"kind": "conv"}
+            self.meta[name] = {"kind": "conv", "cin": x.shape[-1]}
         else:
             self.meta[name] = {"kind": "grouped"}  # RTN fallback
         y = conv2d(x, w, stride=stride, padding=padding, groups=groups,
@@ -96,24 +120,21 @@ def collect_hessians(qforward, flat: FlatParams, cfg, batches) -> HessianCollect
     return col
 
 
-def _row_scales(w_hwio: np.ndarray, scheme: QScheme) -> np.ndarray:
-    """Per-element scale matrix S with w's layout (the grid each row
-    quantizes on) — per-tensor/per-OC broadcast, or group-wise repeated
-    along the HWI-flattened K (the QTensor group convention)."""
-    K = int(np.prod(w_hwio.shape[:-1]))
-    O = w_hwio.shape[-1]
-    w2 = w_hwio.reshape(K, O)
-    if scheme.group is not None:
-        g = scheme.group
-        amax = np.abs(w2.reshape(K // g, g, O)).max(1)  # [K//g, O]
-        s = np.maximum(amax / scheme.qmax, 1e-12)
-        return np.repeat(s, g, axis=0).reshape(w_hwio.shape)
-    if scheme.axis is not None:
-        amax = np.abs(w2).max(0)  # [O]
-        s = np.maximum(amax / scheme.qmax, 1e-12)
-        return np.broadcast_to(s, w_hwio.shape).copy()
-    s = np.maximum(np.abs(w2).max() / scheme.qmax, 1e-12)
-    return np.full(w_hwio.shape, s)
+def _scales_from(base: QTensor, w_shape) -> np.ndarray:
+    """Per-element scale matrix in the weight's layout, broadcast from the
+    RTN baseline QTensor's STORED scales — the grid GPTQ rounds on must be
+    exactly the grid the stored scale dequantizes with (no independent
+    re-derivation that could drift from quantize_tensor)."""
+    s = np.asarray(base.scale, np.float64)
+    K = int(np.prod(w_shape[:-1]))
+    O = w_shape[-1]
+    if base.group is not None:
+        S2 = np.repeat(s, base.group, axis=0)  # [K//g, O] -> [K, O]
+    elif base.axis is not None:
+        S2 = np.broadcast_to(s.reshape(1, O), (K, O))
+    else:
+        S2 = np.full((K, O), float(s))
+    return S2.reshape(w_shape)
 
 
 def gptq_rows(W: np.ndarray, H: np.ndarray, S: np.ndarray, qmin: int,
@@ -180,7 +201,8 @@ def gptq_quantize_weights(
         if H is None or kind == "grouped":
             out[site] = rtn[site]
             continue
-        S = _row_scales(w, scheme)
+        base: QTensor = rtn[site]["qw"]
+        S = _scales_from(base, w.shape)
         if w.ndim == 4:  # conv HWIO: H is IHW-ordered (patches layout)
             Wg = w.transpose(2, 0, 1, 3).reshape(-1, w.shape[-1])
             Sg = S.transpose(2, 0, 1, 3).reshape(Wg.shape)
@@ -193,7 +215,6 @@ def gptq_quantize_weights(
             Q = gptq_rows(w, H, S, scheme.qmin, scheme.qmax, damp, block,
                           actorder)
             q2 = Q
-        base: QTensor = rtn[site]["qw"]
         if scheme.bits == 4:
             values = pack_int4(jnp.asarray(q2, jnp.int8))
         else:

@@ -23,7 +23,7 @@ from dlq_tpu.quant.model_quant import FlatParams, quantize_weights
 from dlq_tpu.quant.qconfig import QConfig
 from dlq_tpu.quant.smooth import (
     _SmoothMixin, apply_smooth, collect_channel_amax, compute_smooth,
-    compute_smooth_auto, smooth_calibrate,
+    search_smooth_alpha, smooth_calibrate,
 )
 
 
@@ -52,11 +52,13 @@ def ptq_auto(
     batches = list(batches)
     sm: Dict[str, Any] = {}
     if smooth != "off" and not qcfg.weight_only:
-        amax = collect_channel_amax(qforward, flat, cfg, batches)
         if smooth == "auto":
-            col0 = collect_hessians(qforward, flat, cfg, batches)
-            sm = compute_smooth_auto(flat, amax, col0, qcfg)
+            # global empirical search: real quantized forward per candidate
+            # alpha on held-out calibration data (see search_smooth_alpha
+            # for why per-site local scoring was measured wrong)
+            sm, _ = search_smooth_alpha(qforward, flat, cfg, batches, qcfg)
         else:
+            amax = collect_channel_amax(qforward, flat, cfg, batches)
             sm = compute_smooth(flat, amax)
     flat_s = apply_smooth(flat, sm) if sm else flat
 

@@ -23,6 +23,13 @@ from dlq_tpu.quant.quantize import (
 )
 
 
+def _stored_bytes(n: int, scheme: QScheme) -> int:
+    """Actual storage of n weight values: int4 nibble-packs (n/2 bytes);
+    int8 AND int2 store full int8 bytes (qconfig.py: int2 has no packed
+    storage)."""
+    return n // 2 if scheme.bits == 4 else n
+
+
 def _site_err(w: np.ndarray, H: np.ndarray, scheme: QScheme) -> float:
     """tr(dW^T H dW) for quantizing w under scheme (H in IHW order for
     convs, matching gptq.HessianCollector)."""
@@ -58,7 +65,7 @@ def site_sensitivity(
         out[site] = {
             "err_lo": _site_err(w, H, lo),
             "err_hi": _site_err(w, H, hi_eff),
-            "bytes_lo": n * lo.bits // 8 if lo.bits >= 8 else n // (8 // lo.bits),
+            "bytes_lo": _stored_bytes(n, lo),
             "bytes_hi": n,  # int8
             "lo_bits": lo.bits,
         }
@@ -85,7 +92,13 @@ def suggest_overrides(
         extra = max(s["bytes_hi"] - s["bytes_lo"], 1)
         cands.append((gain / extra, site, extra))
     cands.sort(reverse=True)
-    total = sum(s["bytes_lo"] for s in sens.values())
+    # baseline over ALL sites (grouped/depthwise convs have no Hessian but
+    # their bytes still count against the budget)
+    total = sum(
+        _stored_bytes(int(np.prod(p["w"].shape)),
+                      effective_weight_scheme(p["w"].shape, qcfg.scheme_for(site)))
+        for site, p in flat.items()
+    )
     chosen = []
     for ratio, site, extra in cands:
         if ratio <= 0:

@@ -154,62 +154,54 @@ def smooth_calibrate(qforward, flat_smoothed: FlatParams, cfg, batches,
     return calibrate(sites_fn, flat_smoothed, batches, qcfg)
 
 
-def compute_smooth_auto(
+def search_smooth_alpha(
+    qforward,
     flat: FlatParams,
-    act_amax: Dict[str, np.ndarray],
-    collector,  # gptq.HessianCollector over the same calibration set
+    cfg,
+    batches,
     qcfg,
     alphas=(0.0, 0.25, 0.4, 0.5, 0.6, 0.75),
-) -> Dict[str, np.ndarray]:
-    """AWQ-style per-site alpha search, scored ANALYTICALLY: the expected
-    layer output error of a smoothed-then-quantized site is
+):
+    """Global empirical alpha search — the honest one. Per-site analytic and
+    per-site sample-scored selection were both built and MEASURED WRONG
+    here: a site's local output MSE does not predict the end-to-end error
+    (diffuse rounding noise partially cancels through downstream matmuls,
+    while outlier-channel error at large alpha passes through coherently),
+    so local scores over-pick large alphas. What a practitioner actually
+    does generalizes: quantize the whole model per candidate alpha,
+    evaluate the REAL deployed forward on held-out calibration data against
+    fp32, keep the argmin. alpha=0 (no smoothing) is in the grid, so the
+    result is never worse than plain quantization on the holdout.
 
-        || X (W - diag(1/s) deq(quant(s W))) ||^2 = tr(dW^T H dW)
+    Cost: len(alphas) quantize+forward passes over the calibration set —
+    offline tooling. Returns (smooth_vectors, best_alpha); smooth == {} when
+    alpha=0 wins."""
+    import jax.numpy as _jnp
 
-    with the calibration Hessian H = sum X^T X the GPTQ collector already
-    holds — no forward passes per candidate. alpha=0.0 (no migration) is in
-    the grid, so auto-smoothing never does worse than its own score of
-    plain quantization. Conv H is IHW-ordered; dW is built in that order."""
-    from dlq_tpu.quant.quantize import effective_weight_scheme
+    batches = [_jnp.asarray(b) for b in batches]
+    if len(batches) >= 2:
+        cal, hold = batches[:-1], batches[-1]
+    else:  # single batch: split rows
+        b = batches[0]
+        half = max(1, b.shape[0] // 2)
+        cal, hold = [b[:half]], b[half:] if b.shape[0] > 1 else b
+    ref = np.asarray(qforward(ObserveCtx(flat), hold, cfg))
+    amax = collect_channel_amax(qforward, flat, cfg, cal)
 
-    out: Dict[str, np.ndarray] = {}
-    for site, a in act_amax.items():
-        w = np.asarray(flat[site]["w"], np.float64)
-        cin = w.shape[-2]
-        H = collector.H.get(site)
-        if a.shape[-1] != cin or H is None:
-            continue
-        scheme = effective_weight_scheme(w.shape, qcfg.scheme_for(site))
-        red = tuple(i for i in range(w.ndim) if i != w.ndim - 2)
-        wmax = np.maximum(np.abs(w).max(axis=red), 1e-5)
-        aa = np.maximum(a.astype(np.float64), 1e-5)
+    from dlq_tpu.quant.model_quant import quantize_weights
 
-        def dw_for(s_vec):
-            shape = [1] * w.ndim
-            shape[-2] = -1
-            ws = w * s_vec.reshape(shape)
-            from dlq_tpu.quant.quantize import dequantize, quantize_tensor
-
-            K = int(np.prod(w.shape[:-1]))
-            qt = quantize_tensor(jnp.asarray(ws.reshape(K, w.shape[-1]),
-                                             jnp.float32), scheme)
-            deq = np.asarray(dequantize(qt), np.float64).reshape(w.shape)
-            dW = w - deq / s_vec.reshape(shape)
-            if w.ndim == 4:  # H is IHW-ordered
-                return dW.transpose(2, 0, 1, 3).reshape(K, -1)
-            return dW
-
-        best_s, best_e = None, np.inf
-        for alpha in alphas:
-            s = (np.clip((aa ** alpha) / (wmax ** (1.0 - alpha)), 1e-5, 1e5)
-                 if alpha > 0 else np.ones(cin))
-            dW = dw_for(s)
-            err = float(np.einsum("ko,kj,jo->", dW, H, dW))
-            if err < best_e:
-                best_e, best_s = err, s
-        if best_s is not None and not np.allclose(best_s, 1.0):
-            out[site] = best_s.astype(np.float32)
-    return out
+    best = (np.inf, {}, 0.0)
+    for alpha in alphas:
+        sm = compute_smooth(flat, amax, alpha=alpha) if alpha > 0 else {}
+        flat_s = apply_smooth(flat, sm) if sm else flat
+        scales = smooth_calibrate(qforward, flat_s, cfg, cal, qcfg, sm)
+        qflat = quantize_weights(flat_s, qcfg)
+        dep = np.asarray(qforward(
+            SmoothDeployCtx(qflat, scales, qcfg, sm), hold, cfg))
+        err = float(np.linalg.norm(dep - ref) / (np.linalg.norm(ref) + 1e-12))
+        if err < best[0]:
+            best = (err, sm, alpha)
+    return best[1], best[2]
 
 
 from dlq_tpu.quant.qat import QATCtx as _QATCtx  # noqa: E402

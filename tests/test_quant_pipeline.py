@@ -381,3 +381,24 @@ def test_dynamic_act_quantization(setup):
                            batch=x.shape[0])
     # jit fusion reorders fp32 epilogue math vs the op-by-op run
     np.testing.assert_allclose(np.asarray(eng(np.asarray(x))), dyn, atol=1e-5)
+
+
+def test_dynamic_rejects_weight_only(setup, tmp_path):
+    """dynamic act quantization needs an acts scheme: weight-only configs
+    must be rejected loudly in Engine.quantized and from_store alike."""
+    from dlq_tpu.engine import Engine
+
+    cfg, params, flat, x, fp32 = setup
+    with pytest.raises(ValueError, match="weight-only"):
+        Engine.quantized(qforward, flat, cfg, INT4_WEIGHT_ONLY_G128,
+                         dynamic=True, batch=4)
+    with pytest.raises(ValueError, match="dynamic"):
+        Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                         dynamic=True, simulate=True, batch=4)
+    qflat = quantize_weights(flat, INT4_WEIGHT_ONLY_G128)
+    save_quantized(str(tmp_path / "wo"), "resnet18", qflat, None,
+                   INT4_WEIGHT_ONLY_G128,
+                   meta={"config": {"num_classes": cfg.num_classes,
+                                    "small_input": cfg.small_input}})
+    with pytest.raises(ValueError, match="weight-only"):
+        Engine.from_store(str(tmp_path / "wo"), ctx="dynamic", batch=4)

@@ -105,7 +105,11 @@ def main():
         calibration=args.method, percentile=args.percentile,
     )
 
-    if args.calib:
+    batches = []
+    need_batches = (not qcfg.weight_only) or args.gptq or args.bias_correct
+    if not need_batches:
+        pass
+    elif args.calib:
         shape = tuple(int(s) for s in args.calib_shape.split(","))
         data = np.fromfile(args.calib, np.float32).reshape(shape)
         batches = [jnp.asarray(data[i : i + args.batch])
