@@ -195,6 +195,24 @@ class Engine:
                                ("num_classes", "image_size", "patch", "dim",
                                 "depth", "heads", "mlp_ratio") if k in mcfg})
             ex = unflatten_extras(extras)
+            if ctx == "block" and qcfg.weight_only:
+                # weight-only int4: W4A16 fused block kernels (weights stay
+                # 4-bit end to end; the site-wise weight-only path is ~6x
+                # slower, BENCH_NOTES)
+                from dlq_tpu.ops.pallas_vit_block import (
+                    pack_vit_blocks_w4, vit_forward_blockfused_w4,
+                )
+
+                packed = pack_vit_blocks_w4(qflat, ex, cfg, tight=True)
+
+                def fwd_w4(p, x):
+                    return vit_forward_blockfused_w4(p, x, cfg, bt=4,
+                                                     tight=True)
+
+                eng = Engine(fwd_w4, packed, name=f"{model}_block_w4", **kw)
+                eng.qcfg = qcfg
+                eng.model_cfg = cfg
+                return eng
             if ctx == "block":
                 # W8A8 fused whole-block kernel — the fastest quantized ViT
                 # path (ops/pallas_vit_block.py)

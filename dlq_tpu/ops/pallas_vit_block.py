@@ -914,3 +914,220 @@ def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
     return jnp.dot(hf, packed["head"]["w"].astype(jnp.float32),
                    preferred_element_type=jnp.float32) + packed["head"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# W4A16 (weight-only int4, per-OC scales) fused block
+# ---------------------------------------------------------------------------
+
+def _dot_w4(x, wp_ref, s_ref, b_ref):
+    """x [rows, K] bf16 @ halves-packed int4 weight [K/2, N] -> f32 [rows, N].
+
+    Byte k holds W[k] (low nibble) and W[k + K/2] (high) — quantize.
+    pack_int4_halves. The split contraction then needs only CONTIGUOUS lane
+    slices of x (x[:, :K/2], x[:, K/2:]); the adjacent-row packing would
+    need the pair-row sublane merge this Mosaic rejects (BENCH_NOTES
+    "Environment facts"). Nibble ints are exact in bf16; the per-OC scale
+    applies to the f32 accumulator (MORE precise than dequantize-then-dot,
+    which rounds w*s to bf16 first)."""
+    Kh = wp_ref.shape[0]
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
+    acc = jax.lax.dot(x[:, :Kh], lo, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot(x[:, Kh:], hi, preferred_element_type=jnp.float32)
+    return acc * s_ref[:] + b_ref[:]
+
+
+def _block_kernel_w4(y_ref,
+                     wqkv_ref, sqkv_ref, bqkv_ref,
+                     wproj_ref, sproj_ref, bproj_ref,
+                     ln1_ref, ln2_ref,
+                     wfc1_ref, sfc1_ref, bfc1_ref,
+                     wfc2_ref, sfc2_ref, bfc2_ref,
+                     o_ref, attn_scr,
+                     *, n_valid, d_valid, heads, hd, gelu_tanh, batched_attn):
+    """Weight-only variant: int4 weights stay nibble-packed in VMEM (half
+    the W8 kernel's weight residency/DMA), activations bf16 throughout —
+    no act quantization, bf16 MXU dots with in-register unpack."""
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    x = y_ref[:].reshape(rows, Dp)
+    xf = x.astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid).astype(jnp.bfloat16)
+    qkv = _dot_w4(h1, wqkv_ref, sqkv_ref, bqkv_ref).astype(jnp.bfloat16)
+
+    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+         n_valid=n_valid)
+
+    a = _dot_w4(attn_scr[:], wproj_ref, sproj_ref, bproj_ref)
+    z1 = xf + a
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid).astype(jnp.bfloat16)
+    f = _dot_w4(h2, wfc1_ref, sfc1_ref, bfc1_ref)
+    f = _gelu_f32(f, gelu_tanh).astype(jnp.bfloat16)
+    out = z1 + _dot_w4(f, wfc2_ref, sfc2_ref, bfc2_ref)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
+    "interpret"))
+def vit_block_fused_w4(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                       n_valid: int, d_valid: int, heads: int, hd: int,
+                       bt: int = 4, gelu_tanh: bool = True,
+                       batched_attn: bool = True,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """W4A16 fused transformer block (weights int4-resident end to end)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    Hcols = w["wfc1"].shape[-1]
+    kernel = functools.partial(
+        _block_kernel_w4, n_valid=n_valid, d_valid=d_valid,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((Dp // 2, 3 * Dp)), full((1, 3 * Dp)), full((1, 3 * Dp)),
+            full((Dp // 2, Dp)), full((1, Dp)), full((1, Dp)),
+            full((2, Dp)), full((2, Dp)),
+            full((Dp // 2, Hcols)), full((1, Hcols)), full((1, Hcols)),
+            full((Hcols // 2, Dp)), full((1, Dp)), full((1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        scratch_shapes=[pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Dp * (3 * Dp + Dp + 2 * Hcols)
+            + 4 * B * heads * Np * Np * hd,
+            bytes_accessed=2 * B * Np * Dp * 2
+            + (4 * Dp * Dp + 2 * Dp * Hcols) // 2,
+            transcendentals=B * heads * Np * Np + B * Np * Hcols,
+        ),
+        interpret=interpret,
+    )(y, w["wqkv"], w["sqkv"], w["bqkv"],
+      w["wproj"], w["sproj"], w["bproj"], w["ln1"], w["ln2"],
+      w["wfc1"], w["sfc1"], w["bfc1"], w["wfc2"], w["sfc2"], w["bfc2"])
+
+
+def pack_vit_blocks_w4(qflat: Dict[str, Any], extras: Dict[str, Any], cfg,
+                       tight: bool = False) -> Dict[str, Any]:
+    """Pack a weight-only per-OC INT4 ViT (QScheme(4, True, -1), acts=None)
+    for the W4A16 fused block kernel: weights re-packed halves-wise on the
+    PADDED [Kp, Ncols] grid (pad rows/cols are zero nibbles, so they
+    self-propagate as zeros), per-OC scales one fp32 row per matmul."""
+    from dlq_tpu.quant.quantize import dequantize, pack_int4_halves, unpack_int4
+
+    D = cfg.dim
+    Np, Dp = vit_pads(cfg, tight)
+    H = cfg.mlp_ratio * D
+    Hp = _cdiv(H, 128) * 128
+
+    def grid_of(name):
+        qw = qflat[name]["qw"]
+        if qw.bits != 4 or qw.group is not None:
+            raise ValueError(
+                f"pack_vit_blocks_w4 needs per-OC int4 weights; {name} is "
+                f"bits={qw.bits} group={qw.group}")
+        return (unpack_int4(qw.values, qw.shape),
+                jnp.broadcast_to(jnp.asarray(qw.scale, jnp.float32),
+                                 (qw.shape[-1],)),
+                qflat[name].get("b"))
+
+    def padw(a, r, c):
+        return jnp.pad(jnp.asarray(a, jnp.int8),
+                       ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+    def padv(a, n, fill=0.0):
+        a = jnp.zeros((0,), jnp.float32) if a is None else jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, n - a.shape[0]), constant_values=fill)
+
+    blocks: List[Dict[str, jnp.ndarray]] = []
+    for i in range(cfg.depth):
+        g_qkv, s_qkv, b_qkv = grid_of(f"l{i}.qkv")
+        wq, wk, wv = jnp.split(g_qkv, 3, -1)
+        sq, sk, sv = jnp.split(s_qkv, 3)
+        bq, bk, bv = jnp.split(jnp.asarray(
+            b_qkv if b_qkv is not None else jnp.zeros(3 * D), jnp.float32), 3)
+        g_p, s_p, b_p = grid_of(f"l{i}.proj")
+        g_f1, s_f1, b_f1 = grid_of(f"l{i}.fc1")
+        g_f2, s_f2, b_f2 = grid_of(f"l{i}.fc2")
+        ln = extras["ln"][i]
+        blocks.append({
+            "wqkv": pack_int4_halves(jnp.concatenate(
+                [padw(wq, Dp, Dp), padw(wk, Dp, Dp), padw(wv, Dp, Dp)], -1)),
+            "sqkv": jnp.concatenate(
+                [padv(sq, Dp, 1.0), padv(sk, Dp, 1.0), padv(sv, Dp, 1.0)]
+            ).reshape(1, -1),
+            "bqkv": jnp.concatenate(
+                [padv(bq, Dp), padv(bk, Dp), padv(bv, Dp)]).reshape(1, -1),
+            "wproj": pack_int4_halves(padw(g_p, Dp, Dp)),
+            "sproj": padv(s_p, Dp, 1.0).reshape(1, -1),
+            "bproj": padv(b_p, Dp).reshape(1, -1),
+            "ln1": jnp.stack([padv(ln["ln1"]["g"], Dp), padv(ln["ln1"]["b"], Dp)]),
+            "ln2": jnp.stack([padv(ln["ln2"]["g"], Dp), padv(ln["ln2"]["b"], Dp)]),
+            "wfc1": pack_int4_halves(padw(g_f1, Dp, Hp)),
+            "sfc1": padv(s_f1, Hp, 1.0).reshape(1, -1),
+            "bfc1": padv(b_f1, Hp).reshape(1, -1),
+            "wfc2": pack_int4_halves(padw(g_f2, Hp, Dp)),
+            "sfc2": padv(s_f2, Dp, 1.0).reshape(1, -1),
+            "bfc2": padv(b_f2, Dp).reshape(1, -1),
+        })
+    patch_w = dequantize(qflat["patch"]["qw"]).astype(jnp.bfloat16)
+    head_w = dequantize(qflat["head"]["qw"]).astype(jnp.float32)
+    return {
+        "blocks": blocks,
+        "patch": {"w": patch_w,
+                  "b": jnp.asarray(qflat["patch"]["b"], jnp.bfloat16)},
+        "cls": jnp.asarray(extras["cls"], jnp.bfloat16),
+        "pos": jnp.asarray(extras["pos"], jnp.bfloat16),
+        "norm": {"g": jnp.asarray(extras["norm"]["g"], jnp.float32),
+                 "b": jnp.asarray(extras["norm"]["b"], jnp.float32)},
+        "head": {"w": head_w,
+                 "b": jnp.asarray(qflat["head"]["b"], jnp.float32)},
+    }
+
+
+def vit_forward_blockfused_w4(packed: Dict[str, Any], x: jnp.ndarray, cfg,
+                              bt: int = 4, gelu_tanh: bool = True,
+                              tight: bool = True, conv_embed: bool = True,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """Weight-only INT4 fused-block forward: block weights stay 4-bit in
+    HBM/VMEM (half the W8 path's weight traffic, 4x less than bf16); the
+    site-wise weight-only deploy measured 6.6k img/s — this path runs the
+    same kernels as the 43.6k W8A8 deploy minus act quantization."""
+    from dlq_tpu.models.vit import layernorm
+
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np, Dp = vit_pads(cfg, tight)
+    B = x.shape[0]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in packed["blocks"]:
+        y = vit_block_fused_w4(y, w, n_valid=N, d_valid=D, heads=cfg.heads,
+                               hd=hd, bt=bt, gelu_tanh=gelu_tanh,
+                               interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"],
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]

@@ -76,6 +76,12 @@ class QConfig:
 INT8_PER_TENSOR = QConfig(weights=QScheme(8, True, None), acts=QScheme(8, True, None))
 INT8_PER_CHANNEL = QConfig(weights=QScheme(8, True, -1), acts=QScheme(8, True, None))
 INT4_WEIGHT_ONLY_G128 = QConfig(weights=QScheme(4, True, -1, group=128), acts=None)
+# per-OC weight-only int4: coarser than G128 but kernel-friendly — the W4A16
+# fused ViT block kernel and the W4A8 paths fold per-OC scales into their
+# f32 epilogues (group scales cannot fold). Also the right recipe when K is
+# not a multiple of the group (DeiT-Ti: K=192 sites fall back to int8 under
+# G128, silently losing the 4-bit storage).
+INT4_WEIGHT_ONLY_PER_OC = QConfig(weights=QScheme(4, True, -1), acts=None)
 # W4A8: int4 per-OC weights + int8 activations — dense sites run on the MXU
 # int8 rate with an in-register nibble unpack (ops/pallas_matmul.int4a8_matmul);
 # conv sites unpack in-graph (exact) onto XLA's int8 conv (ops/qops.qconv2d).

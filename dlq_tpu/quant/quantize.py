@@ -191,3 +191,28 @@ def unpack_int4(packed: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
     hi = jnp.where(hi >= 8, hi - 16, hi)
     out = jnp.stack([lo, hi], axis=1).reshape((-1,) + tuple(packed.shape[1:]))
     return out[: shape[0]].reshape(shape)
+
+
+# Halves packing: byte k holds values[k] (low nibble) and values[k + K/2]
+# (high). Unlike the adjacent-row packing above, the in-kernel split
+# contraction then needs only CONTIGUOUS lane slices of the activation
+# (x[:, :K/2] and x[:, K/2:]) — the pair-row interleave Mosaic cannot
+# relayout never appears. Used by the W4 fused ViT block kernel.
+
+def pack_int4_halves(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 [-8,7] array [K, ...] -> uint8 [K/2, ...], top/bottom halves."""
+    if q.shape[0] % 2 != 0:
+        raise ValueError(f"axis 0 ({q.shape[0]}) must be even to pack")
+    h = q.shape[0] // 2
+    lo = q[:h].astype(jnp.uint8) & 0xF
+    hi = (q[h:].astype(jnp.uint8) & 0xF) << 4
+    return lo | hi
+
+
+def unpack_int4_halves(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4_halves: [K/2, ...] uint8 -> [K, ...] int8."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=0)

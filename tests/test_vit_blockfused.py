@@ -166,3 +166,48 @@ def test_pack_shapes_padded(tiny):
     # padded feature columns must be zero so pad lanes self-propagate
     assert float(jnp.abs(b0["wqkv"][D:, :]).max()) == 0.0
     assert float(jnp.abs(b0["wqkv"][:, D:Dp]).max()) == 0.0
+
+
+def test_w4_blockfused_matches_weight_only_deploy():
+    """W4A16 fused block kernel (int4 weights resident, in-kernel halves
+    unpack, per-OC scales on the f32 epilogue) tracks the site-wise
+    weight-only deploy oracle; store round-trip through Engine.from_store
+    (ctx='block' on a weight-only store) matches the direct forward."""
+    import tempfile
+
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4, vit_forward_blockfused_w4,
+    )
+    from dlq_tpu.quant.model_quant import DeployCtx, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4_WEIGHT_ONLY_PER_OC
+    from dlq_tpu.quant.store import save_quantized
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qcfg = INT4_WEIGHT_ONLY_PER_OC
+    qflat = quantize_weights(flat, qcfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)), jnp.float32)
+
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                       attn_impl="xla")
+    ref = np.asarray(qf(DeployCtx(qflat, None, qcfg), x, cfg))
+    packed = pack_vit_blocks_w4(qflat, ex, cfg, tight=True)
+    out = np.asarray(vit_forward_blockfused_w4(packed, x, cfg, tight=True))
+    assert numerics.diff(out, ref).cosine > 0.999
+
+    with tempfile.TemporaryDirectory() as td:
+        save_quantized(td + "/q", "deit_tiny", qflat, None, qcfg, extras=ex,
+                       meta={"config": {k: getattr(cfg, k) for k in
+                                        ("num_classes", "image_size", "patch",
+                                         "dim", "depth", "heads")}})
+        eng = Engine.from_store(td + "/q", ctx="block", batch=4)
+        got = np.asarray(eng(np.asarray(x)))
+        np.testing.assert_allclose(got, out, rtol=0, atol=2e-2)
