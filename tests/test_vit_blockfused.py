@@ -211,3 +211,30 @@ def test_w4_blockfused_matches_weight_only_deploy():
         eng = Engine.from_store(td + "/q", ctx="block", batch=4)
         got = np.asarray(eng(np.asarray(x)))
         np.testing.assert_allclose(got, out, rtol=0, atol=2e-2)
+
+
+def test_w4_multiblock_matches_per_layer():
+    """Stacked W4 chunks: L=1 must match the per-layer kernel exactly; L=2
+    tracks it to in-chunk-f32-residual precision."""
+    from dlq_tpu.models.vit import ViTConfig, flatten_vit, init_vit, vit_extras
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4, vit_forward_blockfused_w4,
+        vit_forward_multiblock_w4,
+    )
+    from dlq_tpu.quant.model_quant import quantize_weights
+    from dlq_tpu.quant.qconfig import INT4_WEIGHT_ONLY_PER_OC
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(1), cfg)
+    q4 = quantize_weights(flatten_vit(params), INT4_WEIGHT_ONLY_PER_OC)
+    packed = pack_vit_blocks_w4(q4, vit_extras(params), cfg, tight=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (4, 64, 64, 3)),
+                    jnp.float32)
+    a = np.asarray(vit_forward_blockfused_w4(packed, x, cfg, tight=True))
+    b = np.asarray(vit_forward_multiblock_w4(packed, x, cfg,
+                                             layers_per_kernel=1, tight=True))
+    c = np.asarray(vit_forward_multiblock_w4(packed, x, cfg,
+                                             layers_per_kernel=2, tight=True))
+    np.testing.assert_array_equal(b, a)
+    assert numerics.diff(c, a).cosine > 0.9999
