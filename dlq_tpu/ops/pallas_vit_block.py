@@ -1268,3 +1268,223 @@ def vit_forward_multiblock_w4(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
     return jnp.dot(hf, packed["head"]["w"],
                    preferred_element_type=jnp.float32) + packed["head"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# W4A8 fused block: int4 weights on the int8 MXU rate
+# ---------------------------------------------------------------------------
+
+def _dot_w4a8(xq, wp, s, b):
+    """xq int8 [rows, K] @ halves-packed int4 weight [K/2, N]: unpack the
+    nibbles to int8 in-register and run both halves as int8 MXU dots with
+    int32 accumulation — the W8 kernel's rate at half its weight bytes.
+    s folds act_scale * w_scale per column (same epilogue contract as
+    _block_kernel_w8)."""
+    Kh = wp.shape[0]
+    wp = wp.astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    acc = jax.lax.dot(xq[:, :Kh], lo, preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot(xq[:, Kh:], hi, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s + b
+
+
+def _block_kernel_w4a8(y_ref, inv_ref,
+                       wqkv_ref, sqkv_ref, bqkv_ref,
+                       wproj_ref, sproj_ref, bproj_ref,
+                       ln1_ref, ln2_ref,
+                       wfc1_ref, sfc1_ref, bfc1_ref,
+                       wfc2_ref, sfc2_ref, bfc2_ref,
+                       o_ref, attn_scr,
+                       *, n_valid, d_valid, heads, hd, gelu_tanh,
+                       batched_attn):
+    """W4A8 variant of _block_kernel_w8: same quantized-activation flow and
+    epilogue, int4-resident weights unpacked in-register."""
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    x = y_ref[:].reshape(rows, Dp)
+    xf = x.astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid)
+    qkv = _dot_w4a8(_quant_i8(h1, inv_ref[0, 0]), wqkv_ref[:],
+                    sqkv_ref[:], bqkv_ref[:]).astype(jnp.bfloat16)
+
+    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+         n_valid=n_valid)
+
+    a = _dot_w4a8(_quant_i8(attn_scr[:].astype(jnp.float32), inv_ref[0, 1]),
+                  wproj_ref[:], sproj_ref[:], bproj_ref[:])
+    z1 = xf + a
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid)
+    f = _dot_w4a8(_quant_i8(h2, inv_ref[0, 2]), wfc1_ref[:],
+                  sfc1_ref[:], bfc1_ref[:])
+    f = _gelu_f32(f, gelu_tanh)
+    out = z1 + _dot_w4a8(_quant_i8(f, inv_ref[0, 3]), wfc2_ref[:],
+                         sfc2_ref[:], bfc2_ref[:])
+    o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
+    "interpret"))
+def vit_block_fused_w4a8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                         n_valid: int, d_valid: int, heads: int, hd: int,
+                         bt: int = 4, gelu_tanh: bool = True,
+                         batched_attn: bool = True,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """W4A8 fused transformer block (int4 weights, int8 MXU dots)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    Hcols = w["wfc1"].shape[-1]
+    kernel = functools.partial(
+        _block_kernel_w4a8, n_valid=n_valid, d_valid=d_valid,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full((Dp // 2, 3 * Dp)), full((1, 3 * Dp)), full((1, 3 * Dp)),
+            full((Dp // 2, Dp)), full((1, Dp)), full((1, Dp)),
+            full((2, Dp)), full((2, Dp)),
+            full((Dp // 2, Hcols)), full((1, Hcols)), full((1, Hcols)),
+            full((Hcols // 2, Dp)), full((1, Dp)), full((1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        scratch_shapes=[pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Dp * (3 * Dp + Dp + 2 * Hcols)
+            + 4 * B * heads * Np * Np * hd,
+            bytes_accessed=2 * B * Np * Dp * 2
+            + (4 * Dp * Dp + 2 * Dp * Hcols) // 2,
+            transcendentals=B * heads * Np * Np + B * Np * Hcols,
+        ),
+        interpret=interpret,
+    )(y, w["inv_act"], w["wqkv"], w["sqkv"], w["bqkv"],
+      w["wproj"], w["sproj"], w["bproj"], w["ln1"], w["ln2"],
+      w["wfc1"], w["sfc1"], w["bfc1"], w["wfc2"], w["sfc2"], w["bfc2"])
+
+
+def pack_vit_blocks_w4a8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
+                         extras: Dict[str, Any], cfg, tight: bool = False
+                         ) -> Dict[str, Any]:
+    """Pack an INT4A8_PER_CHANNEL-quantized ViT for the W4A8 fused block
+    kernel: int4 weights halves-packed on the padded grid, per-OC weight
+    scales folded with the calibrated act scales (the W8 packer's contract
+    at half the weight bytes)."""
+    from dlq_tpu.quant.quantize import dequantize, pack_int4_halves, unpack_int4
+
+    D = cfg.dim
+    Np, Dp = vit_pads(cfg, tight)
+    H = cfg.mlp_ratio * D
+    Hp = _cdiv(H, 128) * 128
+
+    def padw(a, r, c):
+        return jnp.pad(jnp.asarray(a, jnp.int8),
+                       ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+    def padv(a, n, fill=0.0):
+        a = jnp.zeros((0,), jnp.float32) if a is None else jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, n - a.shape[0]), constant_values=fill)
+
+    def site(name):
+        p = qflat[name]
+        qw = p["qw"]
+        if qw.bits != 4 or qw.group is not None:
+            raise ValueError(f"{name}: W4A8 pack needs per-OC int4 weights")
+        grid = unpack_int4(qw.values, qw.shape)
+        wscale = jnp.broadcast_to(jnp.asarray(qw.scale, jnp.float32),
+                                  (qw.shape[-1],))
+        comb = jnp.asarray(act_scales[name], jnp.float32) * wscale
+        return grid, comb, p.get("b")
+
+    blocks: List[Dict[str, jnp.ndarray]] = []
+    for i in range(cfg.depth):
+        g_qkv, s_qkv, b_qkv = site(f"l{i}.qkv")
+        wq, wk, wv = jnp.split(g_qkv, 3, -1)
+        sq, sk, sv = jnp.split(s_qkv, 3)
+        bq, bk, bv = jnp.split(jnp.asarray(
+            b_qkv if b_qkv is not None else jnp.zeros(3 * D), jnp.float32), 3)
+        g_p, s_p, b_p = site(f"l{i}.proj")
+        g_f1, s_f1, b_f1 = site(f"l{i}.fc1")
+        g_f2, s_f2, b_f2 = site(f"l{i}.fc2")
+        ln = extras["ln"][i]
+        inv = jnp.asarray([[1.0 / float(act_scales[f"l{i}.{s}"])
+                            for s in ("qkv", "proj", "fc1", "fc2")]], jnp.float32)
+        blocks.append({
+            "inv_act": inv,
+            "wqkv": pack_int4_halves(jnp.concatenate(
+                [padw(wq, Dp, Dp), padw(wk, Dp, Dp), padw(wv, Dp, Dp)], -1)),
+            "sqkv": jnp.concatenate(
+                [padv(sq, Dp, 1.0), padv(sk, Dp, 1.0), padv(sv, Dp, 1.0)]
+            ).reshape(1, -1),
+            "bqkv": jnp.concatenate(
+                [padv(bq, Dp), padv(bk, Dp), padv(bv, Dp)]).reshape(1, -1),
+            "wproj": pack_int4_halves(padw(g_p, Dp, Dp)),
+            "sproj": padv(s_p, Dp, 1.0).reshape(1, -1),
+            "bproj": padv(b_p, Dp).reshape(1, -1),
+            "ln1": jnp.stack([padv(ln["ln1"]["g"], Dp), padv(ln["ln1"]["b"], Dp)]),
+            "ln2": jnp.stack([padv(ln["ln2"]["g"], Dp), padv(ln["ln2"]["b"], Dp)]),
+            "wfc1": pack_int4_halves(padw(g_f1, Dp, Hp)),
+            "sfc1": padv(s_f1, Hp, 1.0).reshape(1, -1),
+            "bfc1": padv(b_f1, Hp).reshape(1, -1),
+            "wfc2": pack_int4_halves(padw(g_f2, Hp, Dp)),
+            "sfc2": padv(s_f2, Dp, 1.0).reshape(1, -1),
+            "bfc2": padv(b_f2, Dp).reshape(1, -1),
+        })
+    patch_w = dequantize(qflat["patch"]["qw"]).astype(jnp.bfloat16)
+    head_w = dequantize(qflat["head"]["qw"]).astype(jnp.float32)
+    return {
+        "blocks": blocks,
+        "patch": {"w": patch_w,
+                  "b": jnp.asarray(qflat["patch"]["b"], jnp.bfloat16)},
+        "cls": jnp.asarray(extras["cls"], jnp.bfloat16),
+        "pos": jnp.asarray(extras["pos"], jnp.bfloat16),
+        "norm": {"g": jnp.asarray(extras["norm"]["g"], jnp.float32),
+                 "b": jnp.asarray(extras["norm"]["b"], jnp.float32)},
+        "head": {"w": head_w,
+                 "b": jnp.asarray(qflat["head"]["b"], jnp.float32)},
+    }
+
+
+def vit_forward_blockfused_w4a8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
+                                bt: int = 4, gelu_tanh: bool = True,
+                                tight: bool = True, conv_embed: bool = True,
+                                interpret: bool | None = None) -> jnp.ndarray:
+    """W4A8 fused-block forward: the W8A8 deploy flow with int4-resident
+    block weights (half the weight HBM/VMEM)."""
+    from dlq_tpu.models.vit import layernorm
+
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np, Dp = vit_pads(cfg, tight)
+    B = x.shape[0]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in packed["blocks"]:
+        y = vit_block_fused_w4a8(y, w, n_valid=N, d_valid=D, heads=cfg.heads,
+                                 hd=hd, bt=bt, gelu_tanh=gelu_tanh,
+                                 interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"],
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]

@@ -238,3 +238,35 @@ def test_w4_multiblock_matches_per_layer():
                                              layers_per_kernel=2, tight=True))
     np.testing.assert_array_equal(b, a)
     assert numerics.diff(c, a).cosine > 0.9999
+
+
+def test_w4a8_blockfused_matches_deploy():
+    """W4A8 fused block (int4 weights, int8 MXU dots): tracks the site-wise
+    INT4A8 deploy the way the W8 kernel tracks its deploy ctx."""
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import DeployCtx, make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(2), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                       attn_impl="xla")
+    rng = np.random.default_rng(2)
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT4A8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT4A8_PER_CHANNEL)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64, 64, 3)), jnp.float32)
+    ref = np.asarray(qf(DeployCtx(qflat, scales, INT4A8_PER_CHANNEL), x, cfg))
+    packed = pack_vit_blocks_w4a8(qflat, scales, ex, cfg, tight=True)
+    out = np.asarray(vit_forward_blockfused_w4a8(packed, x, cfg, tight=True))
+    assert numerics.diff(out, ref).cosine > 0.998
+    assert numerics.top1_agreement(out, ref) == 1.0
