@@ -1,0 +1,98 @@
+"""TPU sweep: W4A8 fused ViT block kernel (int4 weights, int8 MXU dots).
+
+Expectation: near the W8A8 path's rate (42.9k img/s same-process anchor
+earlier) at half its weight bytes — the per-layer in-kernel unpack is the
+only addition. One process: per-layer W4A8 bt4/bt8 at b256, best at b384,
+plus the W4A16 per-layer bt8 re-measure as a same-process anchor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main(iters: int = 8):
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4, pack_vit_blocks_w4a8, vit_forward_blockfused_w4,
+        vit_forward_blockfused_w4a8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL, INT4_WEIGHT_ONLY_PER_OC
+    from dlq_tpu.timing import device_time_fn
+
+    _emit(device=str(jax.devices()[0]))
+    rng = np.random.default_rng(0)
+    cfg = ViTConfig()
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim)
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT4A8_PER_CHANNEL)
+    q4a8 = quantize_weights(flat, INT4A8_PER_CHANNEL)
+    p48 = pack_vit_blocks_w4a8(q4a8, scales, ex, cfg, tight=True)
+
+    best = (0.0, 4)
+    x256 = jnp.asarray(rng.normal(0, 1, (256, 224, 224, 3)), jnp.float32)
+    for bt in (4, 8):
+        try:
+            def fwd(p, xb, _bt=bt):
+                return vit_forward_blockfused_w4a8(p, xb, cfg, bt=_bt,
+                                                   tight=True)
+
+            r = device_time_fn(fwd, p48, x256, perturb_arg=1, n_small=2,
+                               n_big=2 + iters)
+            ips = 256 / (r["ms_median"] / 1e3)
+            _emit(variant=f"w4a8_block_bt{bt}", batch=256,
+                  ms=round(r["ms_median"], 3), img_s=round(ips, 1))
+            if ips > best[0]:
+                best = (ips, bt)
+        except Exception as e:
+            _emit(variant=f"w4a8_block_bt{bt}",
+                  error=f"{type(e).__name__}: {str(e)[:140]}")
+
+    x384 = jnp.asarray(rng.normal(0, 1, (384, 224, 224, 3)), jnp.float32)
+
+    def fwd_best(p, xb):
+        return vit_forward_blockfused_w4a8(p, xb, cfg, bt=best[1], tight=True)
+
+    r = device_time_fn(fwd_best, p48, x384, perturb_arg=1, n_small=2,
+                       n_big=2 + iters)
+    _emit(variant=f"w4a8_block_bt{best[1]}", batch=384,
+          ms=round(r["ms_median"], 3),
+          img_s=round(384 / (r["ms_median"] / 1e3), 1))
+
+    # same-process W4A16 anchor
+    q4 = quantize_weights(flat, INT4_WEIGHT_ONLY_PER_OC)
+    p4 = pack_vit_blocks_w4(q4, ex, cfg, tight=True)
+
+    def fwd4(p, xb):
+        return vit_forward_blockfused_w4(p, xb, cfg, bt=8, tight=True)
+
+    r = device_time_fn(fwd4, p4, x256, perturb_arg=1, n_small=2,
+                       n_big=2 + iters)
+    _emit(variant="w4a16_block_bt8_anchor", batch=256,
+          ms=round(r["ms_median"], 3),
+          img_s=round(256 / (r["ms_median"] / 1e3), 1))
+
+
+if __name__ == "__main__":
+    main()
