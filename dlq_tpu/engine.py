@@ -219,6 +219,24 @@ class Engine:
                 eng.qcfg = qcfg
                 eng.model_cfg = cfg
                 return eng
+            if ctx == "block" and qcfg.weights.bits == 4:
+                # INT4A8: W4A8 fused block kernels — the W8A8 flow with
+                # int4-resident weights (half the weight HBM/VMEM)
+                from dlq_tpu.ops.pallas_vit_block import (
+                    pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8,
+                )
+
+                packed = pack_vit_blocks_w4a8(qflat, act_scales, ex, cfg,
+                                              tight=True)
+
+                def fwd_w4a8(p, x):
+                    return vit_forward_blockfused_w4a8(p, x, cfg, bt=4,
+                                                       tight=True)
+
+                eng = Engine(fwd_w4a8, packed, name=f"{model}_block_w4a8", **kw)
+                eng.qcfg = qcfg
+                eng.model_cfg = cfg
+                return eng
             if ctx == "block":
                 # W8A8 fused whole-block kernel — the fastest quantized ViT
                 # path (ops/pallas_vit_block.py)

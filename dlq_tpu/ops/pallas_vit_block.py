@@ -1488,3 +1488,139 @@ def vit_forward_blockfused_w4a8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
     hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
     return jnp.dot(hf, packed["head"]["w"],
                    preferred_element_type=jnp.float32) + packed["head"]["b"]
+
+
+def _multiblock_kernel_w4a8(y_ref, inv_ref,
+                            wqkv_ref, sqkv_ref, bqkv_ref,
+                            wproj_ref, sproj_ref, bproj_ref, ln_ref,
+                            wfc1_ref, sfc1_ref, bfc1_ref,
+                            wfc2_ref, sfc2_ref, bfc2_ref,
+                            o_ref, attn_scr,
+                            *, L, n_valid, d_valid, heads, hd, gelu_tanh,
+                            batched_attn):
+    """L stacked W4A8 layers per kernel: residual VMEM-resident, int4
+    weight stacks leading-dim indexed, int8 MXU dots."""
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    xf = y_ref[:].reshape(rows, Dp).astype(jnp.float32)
+    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    for l in range(L):
+        ln = ln_ref[l].astype(jnp.float32)
+        h1 = _ln_f32(xf, ln[0:1], ln[1:2], d_valid)
+        qkv = _dot_w4a8(_quant_i8(h1, inv_ref[l, 0]), wqkv_ref[l],
+                        sqkv_ref[l], bqkv_ref[l]).astype(jnp.bfloat16)
+        mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+             n_valid=n_valid)
+        a = _dot_w4a8(_quant_i8(attn_scr[:].astype(jnp.float32), inv_ref[l, 1]),
+                      wproj_ref[l], sproj_ref[l], bproj_ref[l])
+        z1 = xf + a
+        h2 = _ln_f32(z1, ln[2:3], ln[3:4], d_valid)
+        f = _dot_w4a8(_quant_i8(h2, inv_ref[l, 2]), wfc1_ref[l],
+                      sfc1_ref[l], bfc1_ref[l])
+        f = _gelu_f32(f, gelu_tanh)
+        xf = z1 + _dot_w4a8(_quant_i8(f, inv_ref[l, 3]), wfc2_ref[l],
+                            sfc2_ref[l], bfc2_ref[l])
+    o_ref[:] = xf.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+def stack_vit_blocks_w4a8(packed: Dict[str, Any], layers_per_kernel: int
+                          ) -> List[Dict[str, jnp.ndarray]]:
+    """Group pack_vit_blocks_w4a8 per-layer blocks into stacked chunks."""
+    blocks = packed["blocks"]
+    L = layers_per_kernel
+    assert len(blocks) % L == 0, (len(blocks), L)
+    chunks = []
+    for c in range(0, len(blocks), L):
+        grp = blocks[c : c + L]
+        chunk = {"inv": jnp.concatenate([b["inv_act"] for b in grp], axis=0)}
+        for k in ("wqkv", "sqkv", "bqkv", "wproj", "sproj", "bproj",
+                  "wfc1", "sfc1", "bfc1", "wfc2", "sfc2", "bfc2"):
+            chunk[k] = jnp.stack([b[k] for b in grp])
+        chunk["ln"] = jnp.stack(
+            [jnp.concatenate([b["ln1"], b["ln2"]], axis=0) for b in grp])
+        chunks.append(chunk)
+    return chunks
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
+    "interpret"))
+def vit_multiblock_fused_w4a8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                              n_valid: int, d_valid: int, heads: int, hd: int,
+                              bt: int = 8, gelu_tanh: bool = True,
+                              batched_attn: bool = True,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """One stacked chunk (L layers) of W4A8 transformer blocks."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    L = w["wqkv"].shape[0]
+    Hcols = w["wfc1"].shape[-1]
+    kernel = functools.partial(
+        _multiblock_kernel_w4a8, L=L, n_valid=n_valid, d_valid=d_valid,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full((L, Dp // 2, 3 * Dp)), full((L, 1, 3 * Dp)), full((L, 1, 3 * Dp)),
+            full((L, Dp // 2, Dp)), full((L, 1, Dp)), full((L, 1, Dp)),
+            full((L, 4, Dp)),
+            full((L, Dp // 2, Hcols)), full((L, 1, Hcols)), full((L, 1, Hcols)),
+            full((L, Hcols // 2, Dp)), full((L, 1, Dp)), full((L, 1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        scratch_shapes=[pltpu.VMEM((bt * Np, Dp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * B * Np * Dp * (3 * Dp + Dp + 2 * Hcols)
+            + 4 * L * B * heads * Np * Np * hd,
+            bytes_accessed=2 * B * Np * Dp * 2
+            + L * (4 * Dp * Dp + 2 * Dp * Hcols) // 2,
+            transcendentals=L * B * (heads * Np * Np + Np * Hcols),
+        ),
+        interpret=interpret,
+    )(y, w["inv"], w["wqkv"], w["sqkv"], w["bqkv"],
+      w["wproj"], w["sproj"], w["bproj"], w["ln"],
+      w["wfc1"], w["sfc1"], w["bfc1"], w["wfc2"], w["sfc2"], w["bfc2"])
+
+
+def vit_forward_multiblock_w4a8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
+                                layers_per_kernel: int = 6, bt: int = 8,
+                                gelu_tanh: bool = True, tight: bool = True,
+                                conv_embed: bool = True,
+                                interpret: bool | None = None) -> jnp.ndarray:
+    """W4A8 forward on stacked multi-layer kernels."""
+    from dlq_tpu.models.vit import layernorm
+
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np, Dp = vit_pads(cfg, tight)
+    B = x.shape[0]
+    chunks = packed.get("_chunks")
+    if chunks is None:
+        chunks = stack_vit_blocks_w4a8(packed, layers_per_kernel)
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in chunks:
+        y = vit_multiblock_fused_w4a8(y, w, n_valid=N, d_valid=D,
+                                      heads=cfg.heads, hd=hd, bt=bt,
+                                      gelu_tanh=gelu_tanh,
+                                      interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"],
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]

@@ -270,3 +270,45 @@ def test_w4a8_blockfused_matches_deploy():
     out = np.asarray(vit_forward_blockfused_w4a8(packed, x, cfg, tight=True))
     assert numerics.diff(out, ref).cosine > 0.998
     assert numerics.top1_agreement(out, ref) == 1.0
+
+
+def test_w4a8_from_store_block():
+    """INT4A8 deit store + ctx='block' routes to the W4A8 fused kernel."""
+    import tempfile
+
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+    from dlq_tpu.quant.store import save_quantized
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(3), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                       attn_impl="xla")
+    rng = np.random.default_rng(3)
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT4A8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT4A8_PER_CHANNEL)
+    x = np.asarray(rng.normal(0, 1, (4, 64, 64, 3)), np.float32)
+    packed = pack_vit_blocks_w4a8(qflat, scales, ex, cfg, tight=True)
+    ref = np.asarray(vit_forward_blockfused_w4a8(packed, jnp.asarray(x), cfg,
+                                                 tight=True))
+    with tempfile.TemporaryDirectory() as td:
+        save_quantized(td + "/q", "deit_tiny", qflat, scales,
+                       INT4A8_PER_CHANNEL, extras=ex,
+                       meta={"config": {k: getattr(cfg, k) for k in
+                                        ("num_classes", "image_size", "patch",
+                                         "dim", "depth", "heads")}})
+        eng = Engine.from_store(td + "/q", ctx="block", batch=4)
+        assert eng.name.endswith("block_w4a8")
+        np.testing.assert_allclose(np.asarray(eng(x)), ref, rtol=0, atol=2e-2)
