@@ -24,6 +24,7 @@ SCHEMES = {
     "int8_pc": "INT8_PER_CHANNEL",
     "int8_pt": "INT8_PER_TENSOR",
     "int4_wo": "INT4_WEIGHT_ONLY_G128",
+    "int4_wo_pc": "INT4_WEIGHT_ONLY_PER_OC",  # block-kernel-friendly W4
     "int4a8": "INT4A8_PER_CHANNEL",
 }
 
