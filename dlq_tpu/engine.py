@@ -229,8 +229,10 @@ class Engine:
                 packed = pack_vit_blocks_w4a8(qflat, act_scales, ex, cfg,
                                               tight=True)
 
+                # measured: per-layer bt8 36.3k img/s b256; every stacked
+                # multiblock variant was slower (best L2/bt8 35.0k)
                 def fwd_w4a8(p, x):
-                    return vit_forward_blockfused_w4a8(p, x, cfg, bt=4,
+                    return vit_forward_blockfused_w4a8(p, x, cfg, bt=8,
                                                        tight=True)
 
                 eng = Engine(fwd_w4a8, packed, name=f"{model}_block_w4a8", **kw)
