@@ -195,6 +195,17 @@ class Engine:
                                ("num_classes", "image_size", "patch", "dim",
                                 "depth", "heads", "mlp_ratio") if k in mcfg})
             ex = unflatten_extras(extras)
+            # the W4 block kernels need per-OC int4 weights; a store
+            # materialized to int8 at load (int4_runtime="int8") runs the
+            # W8 path instead (that is the option's documented purpose)
+            w4_blocks = (qcfg.weights.bits == 4 and qcfg.weights.group is None
+                         and int4_runtime != "int8")
+            if ctx == "block" and qcfg.weight_only and not w4_blocks:
+                raise ValueError(
+                    "ctx='block' on a weight-only store needs per-OC int4 "
+                    "weights (INT4_WEIGHT_ONLY_PER_OC / scheme int4_wo_pc); "
+                    "group-wise or int8 weight-only stores have no fused "
+                    "block path — use ctx='deploy'")
             if ctx == "block" and qcfg.weight_only:
                 # weight-only int4: W4A16 fused block kernels (weights stay
                 # 4-bit end to end; the site-wise weight-only path is ~6x
@@ -210,6 +221,7 @@ class Engine:
                 # so deeper stacks + bt8 fit where W8's did not
                 lpk = next((L for L in (12, 6, 2, 1) if cfg.depth % L == 0))
                 packed["_chunks"] = stack_vit_blocks_w4(packed, lpk)
+                packed.pop("blocks")  # the forward reads only the stacks
 
                 def fwd_w4(p, x):
                     return vit_forward_multiblock_w4(p, x, cfg, bt=8,
@@ -219,7 +231,7 @@ class Engine:
                 eng.qcfg = qcfg
                 eng.model_cfg = cfg
                 return eng
-            if ctx == "block" and qcfg.weights.bits == 4:
+            if ctx == "block" and w4_blocks:
                 # INT4A8: W4A8 fused block kernels — the W8A8 flow with
                 # int4-resident weights (half the weight HBM/VMEM)
                 from dlq_tpu.ops.pallas_vit_block import (
@@ -259,6 +271,7 @@ class Engine:
                                             tight=True)
                 lpk = 6 if cfg.depth % 6 == 0 else 1
                 packed["_chunks"] = stack_vit_blocks_w8(packed, lpk)
+                packed.pop("blocks")  # the forward reads only the stacks
 
                 def fwd_block(p, x):
                     return vit_forward_multiblock_w8(p, x, cfg, bt=4,

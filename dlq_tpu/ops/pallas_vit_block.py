@@ -502,18 +502,20 @@ def _multiblock_kernel_w8(y_ref, inv_ref,
     o_ref[:] = xf.astype(o_ref.dtype).reshape(Bt, Np, Dp)
 
 
-def stack_vit_blocks_w8(packed: Dict[str, Any], layers_per_kernel: int
-                        ) -> List[Dict[str, jnp.ndarray]]:
-    """Group a pack_vit_blocks_w8 result's per-layer blocks into stacked
-    chunks for the multi-layer kernel (one leading L axis per weight kind;
-    ln1/ln2 merged into a [L,4,Dp] stack)."""
+def _stack_blocks(packed: Dict[str, Any], layers_per_kernel: int,
+                  with_inv: bool) -> List[Dict[str, jnp.ndarray]]:
+    """Group per-layer blocks into stacked chunks for the multi-layer
+    kernels (one leading L axis per weight kind; ln1/ln2 merged into a
+    [L,4,Dp] stack; `inv` act-scale stack only for the quantized-act
+    variants). Shared by the W8/W4/W4A8 stackers."""
     blocks = packed["blocks"]
     L = layers_per_kernel
     assert len(blocks) % L == 0, (len(blocks), L)
     chunks = []
     for c in range(0, len(blocks), L):
         grp = blocks[c : c + L]
-        chunk = {"inv": jnp.concatenate([b["inv_act"] for b in grp], axis=0)}
+        chunk = ({"inv": jnp.concatenate([b["inv_act"] for b in grp], axis=0)}
+                 if with_inv else {})
         for k in ("wqkv", "sqkv", "bqkv", "wproj", "sproj", "bproj",
                   "wfc1", "sfc1", "bfc1", "wfc2", "sfc2", "bfc2"):
             chunk[k] = jnp.stack([b[k] for b in grp])
@@ -521,6 +523,12 @@ def stack_vit_blocks_w8(packed: Dict[str, Any], layers_per_kernel: int
             [jnp.concatenate([b["ln1"], b["ln2"]], axis=0) for b in grp])
         chunks.append(chunk)
     return chunks
+
+
+def stack_vit_blocks_w8(packed: Dict[str, Any], layers_per_kernel: int
+                        ) -> List[Dict[str, jnp.ndarray]]:
+    """Stacked chunks for the W8A8 multi-layer kernel."""
+    return _stack_blocks(packed, layers_per_kernel, with_inv=True)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1171,21 +1179,8 @@ def _multiblock_kernel_w4(y_ref,
 
 def stack_vit_blocks_w4(packed: Dict[str, Any], layers_per_kernel: int
                         ) -> List[Dict[str, jnp.ndarray]]:
-    """Group pack_vit_blocks_w4 per-layer blocks into stacked chunks."""
-    blocks = packed["blocks"]
-    L = layers_per_kernel
-    assert len(blocks) % L == 0, (len(blocks), L)
-    chunks = []
-    for c in range(0, len(blocks), L):
-        grp = blocks[c : c + L]
-        chunk = {}
-        for k in ("wqkv", "sqkv", "bqkv", "wproj", "sproj", "bproj",
-                  "wfc1", "sfc1", "bfc1", "wfc2", "sfc2", "bfc2"):
-            chunk[k] = jnp.stack([b[k] for b in grp])
-        chunk["ln"] = jnp.stack(
-            [jnp.concatenate([b["ln1"], b["ln2"]], axis=0) for b in grp])
-        chunks.append(chunk)
-    return chunks
+    """Stacked chunks for the W4A16 multi-layer kernel (no act scales)."""
+    return _stack_blocks(packed, layers_per_kernel, with_inv=False)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1525,21 +1520,8 @@ def _multiblock_kernel_w4a8(y_ref, inv_ref,
 
 def stack_vit_blocks_w4a8(packed: Dict[str, Any], layers_per_kernel: int
                           ) -> List[Dict[str, jnp.ndarray]]:
-    """Group pack_vit_blocks_w4a8 per-layer blocks into stacked chunks."""
-    blocks = packed["blocks"]
-    L = layers_per_kernel
-    assert len(blocks) % L == 0, (len(blocks), L)
-    chunks = []
-    for c in range(0, len(blocks), L):
-        grp = blocks[c : c + L]
-        chunk = {"inv": jnp.concatenate([b["inv_act"] for b in grp], axis=0)}
-        for k in ("wqkv", "sqkv", "bqkv", "wproj", "sproj", "bproj",
-                  "wfc1", "sfc1", "bfc1", "wfc2", "sfc2", "bfc2"):
-            chunk[k] = jnp.stack([b[k] for b in grp])
-        chunk["ln"] = jnp.stack(
-            [jnp.concatenate([b["ln1"], b["ln2"]], axis=0) for b in grp])
-        chunks.append(chunk)
-    return chunks
+    """Stacked chunks for the W4A8 multi-layer kernel."""
+    return _stack_blocks(packed, layers_per_kernel, with_inv=True)
 
 
 @functools.partial(jax.jit, static_argnames=(

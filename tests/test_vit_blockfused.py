@@ -312,3 +312,51 @@ def test_w4a8_from_store_block():
         eng = Engine.from_store(td + "/q", ctx="block", batch=4)
         assert eng.name.endswith("block_w4a8")
         np.testing.assert_allclose(np.asarray(eng(x)), ref, rtol=0, atol=2e-2)
+
+
+def test_block_ctx_routing_guards():
+    """from_store ctx='block' routing: int4_runtime='int8' materializes to
+    the W8 path (the option's documented purpose); group-wise weight-only
+    stores get a clear ctx-level error instead of a packer crash."""
+    import tempfile
+
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL, INT4_WEIGHT_ONLY_G128
+    from dlq_tpu.quant.store import save_quantized
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(4), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                       attn_impl="xla")
+    rng = np.random.default_rng(4)
+    x = np.asarray(rng.normal(0, 1, (4, 64, 64, 3)), np.float32)
+    meta = {"config": {k: getattr(cfg, k) for k in
+                       ("num_classes", "image_size", "patch", "dim",
+                        "depth", "heads")}}
+
+    with tempfile.TemporaryDirectory() as td:
+        calib = [jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)]
+        scales = calibrate(make_sites_fn(qf, cfg), flat, calib,
+                           INT4A8_PER_CHANNEL)
+        q4 = quantize_weights(flat, INT4A8_PER_CHANNEL)
+        save_quantized(td + "/i4a8", "deit_tiny", q4, scales,
+                       INT4A8_PER_CHANNEL, extras=ex, meta=meta)
+        # materialize-at-load routes to the W8 block path and runs
+        eng = Engine.from_store(td + "/i4a8", ctx="block",
+                                int4_runtime="int8", batch=4)
+        assert eng.name == "deit_tiny_block"
+        assert np.isfinite(np.asarray(eng(x))).all()
+
+        qg = quantize_weights(flat, INT4_WEIGHT_ONLY_G128)
+        save_quantized(td + "/g128", "deit_tiny", qg, None,
+                       INT4_WEIGHT_ONLY_G128, extras=ex, meta=meta)
+        with pytest.raises(ValueError, match="per-OC int4"):
+            Engine.from_store(td + "/g128", ctx="block", batch=4)

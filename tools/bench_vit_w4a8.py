@@ -50,7 +50,7 @@ def main(iters: int = 8):
     q4a8 = quantize_weights(flat, INT4A8_PER_CHANNEL)
     p48 = pack_vit_blocks_w4a8(q4a8, scales, ex, cfg, tight=True)
 
-    best = (0.0, 4)
+    best = (0.0, None)
     x256 = jnp.asarray(rng.normal(0, 1, (256, 224, 224, 3)), jnp.float32)
     for bt in (4, 8):
         try:
@@ -69,16 +69,18 @@ def main(iters: int = 8):
             _emit(variant=f"w4a8_block_bt{bt}",
                   error=f"{type(e).__name__}: {str(e)[:140]}")
 
-    x384 = jnp.asarray(rng.normal(0, 1, (384, 224, 224, 3)), jnp.float32)
+    if best[1] is not None:  # both b256 variants failing must not kill the
+        x384 = jnp.asarray(rng.normal(0, 1, (384, 224, 224, 3)), jnp.float32)
 
-    def fwd_best(p, xb):
-        return vit_forward_blockfused_w4a8(p, xb, cfg, bt=best[1], tight=True)
+        def fwd_best(p, xb):
+            return vit_forward_blockfused_w4a8(p, xb, cfg, bt=best[1],
+                                               tight=True)
 
-    r = device_time_fn(fwd_best, p48, x384, perturb_arg=1, n_small=2,
-                       n_big=2 + iters)
-    _emit(variant=f"w4a8_block_bt{best[1]}", batch=384,
-          ms=round(r["ms_median"], 3),
-          img_s=round(384 / (r["ms_median"] / 1e3), 1))
+        r = device_time_fn(fwd_best, p48, x384, perturb_arg=1, n_small=2,
+                           n_big=2 + iters)
+        _emit(variant=f"w4a8_block_bt{best[1]}", batch=384,
+              ms=round(r["ms_median"], 3),
+              img_s=round(384 / (r["ms_median"] / 1e3), 1))
 
     # same-process W4A16 anchor
     q4 = quantize_weights(flat, INT4_WEIGHT_ONLY_PER_OC)
