@@ -360,3 +360,36 @@ def test_block_ctx_routing_guards():
                        INT4_WEIGHT_ONLY_G128, extras=ex, meta=meta)
         with pytest.raises(ValueError, match="per-OC int4"):
             Engine.from_store(td + "/g128", ctx="block", batch=4)
+
+
+def test_w4a8_cached_unpack_bit_identical():
+    """The cache-unpack W4A8 kernel (nibbles unpacked once at grid step 0
+    into int8 scratches) must be BIT-identical to the per-step-unpack
+    kernel across multiple batch groups."""
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8,
+        vit_forward_blockfused_w4a8c,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(5), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                       attn_impl="xla")
+    rng = np.random.default_rng(5)
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT4A8_PER_CHANNEL)
+    packed = pack_vit_blocks_w4a8(quantize_weights(flat, INT4A8_PER_CHANNEL),
+                                  scales, ex, cfg, tight=True)
+    x = jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)
+    a = np.asarray(vit_forward_blockfused_w4a8(packed, x, cfg, bt=4, tight=True))
+    b = np.asarray(vit_forward_blockfused_w4a8c(packed, x, cfg, bt=4, tight=True))
+    np.testing.assert_array_equal(b, a)
