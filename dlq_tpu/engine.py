@@ -235,17 +235,18 @@ class Engine:
                 # INT4A8: W4A8 fused block kernels — the W8A8 flow with
                 # int4-resident weights (half the weight HBM/VMEM)
                 from dlq_tpu.ops.pallas_vit_block import (
-                    pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8,
+                    pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8c,
                 )
 
                 packed = pack_vit_blocks_w4a8(qflat, act_scales, ex, cfg,
                                               tight=True)
 
-                # measured: per-layer bt8 36.3k img/s b256; every stacked
-                # multiblock variant was slower (best L2/bt8 35.0k)
+                # measured: cache-unpack bt8 42.1k img/s b384 (~the W8A8
+                # rate at half its weight bytes); uncached 36.3k; stacked
+                # multiblock variants slower still
                 def fwd_w4a8(p, x):
-                    return vit_forward_blockfused_w4a8(p, x, cfg, bt=8,
-                                                       tight=True)
+                    return vit_forward_blockfused_w4a8c(p, x, cfg, bt=8,
+                                                        tight=True)
 
                 eng = Engine(fwd_w4a8, packed, name=f"{model}_block_w4a8", **kw)
                 eng.qcfg = qcfg

@@ -1755,3 +1755,144 @@ def vit_forward_blockfused_w4a8c(packed, x, cfg, bt: int = 8,
     hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
     return jnp.dot(hf, packed["head"]["w"],
                    preferred_element_type=jnp.float32) + packed["head"]["b"]
+
+
+def _unpack_halves_bf16(wp):
+    wp = wp.astype(jnp.int32)
+    lo = wp & 0xF
+    hi = (wp >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.bfloat16)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.bfloat16)
+    return lo, hi
+
+
+def _block_kernel_w4c(y_ref,
+                      wqkv_ref, sqkv_ref, bqkv_ref,
+                      wproj_ref, sproj_ref, bproj_ref,
+                      ln1_ref, ln2_ref,
+                      wfc1_ref, sfc1_ref, bfc1_ref,
+                      wfc2_ref, sfc2_ref, bfc2_ref,
+                      o_ref, attn_scr, qkv_scr, proj_scr, f1_scr, f2_scr,
+                      *, n_valid, d_valid, heads, hd, gelu_tanh,
+                      batched_attn):
+    """W4A16 with the unpack cached (bf16 nibble scratches filled at grid
+    step 0, reused by every batch group — see _block_kernel_w4a8c)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for wref, scr in ((wqkv_ref, qkv_scr), (wproj_ref, proj_scr),
+                          (wfc1_ref, f1_scr), (wfc2_ref, f2_scr)):
+            Kh = wref.shape[0]
+            lo, hi = _unpack_halves_bf16(wref[:])
+            scr[:Kh, :] = lo
+            scr[Kh:, :] = hi
+
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    x = y_ref[:].reshape(rows, Dp)
+    xf = x.astype(jnp.float32)
+
+    def dotw(xb, scr, s_ref, b_ref):
+        acc = jax.lax.dot(xb, scr[:], preferred_element_type=jnp.float32)
+        return acc * s_ref[:] + b_ref[:]
+
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid).astype(jnp.bfloat16)
+    qkv = dotw(h1, qkv_scr, sqkv_ref, bqkv_ref).astype(jnp.bfloat16)
+
+    mhsa = _mhsa_batched_into_scratch if batched_attn else _mhsa_into_scratch
+    mhsa(qkv, attn_scr, Bt=Bt, Np=Np, Dp=Dp, heads=heads, hd=hd,
+         n_valid=n_valid)
+
+    a = dotw(attn_scr[:], proj_scr, sproj_ref, bproj_ref)
+    z1 = xf + a
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid).astype(jnp.bfloat16)
+    f = dotw(h2, f1_scr, sfc1_ref, bfc1_ref)
+    f = _gelu_f32(f, gelu_tanh).astype(jnp.bfloat16)
+    out = z1 + dotw(f, f2_scr, sfc2_ref, bfc2_ref)
+    o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_valid", "d_valid", "heads", "hd", "bt", "gelu_tanh", "batched_attn",
+    "interpret"))
+def vit_block_fused_w4c(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                        n_valid: int, d_valid: int, heads: int, hd: int,
+                        bt: int = 8, gelu_tanh: bool = True,
+                        batched_attn: bool = True,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Cache-unpack W4A16 fused block."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    Hcols = w["wfc1"].shape[-1]
+    kernel = functools.partial(
+        _block_kernel_w4c, n_valid=n_valid, d_valid=d_valid,
+        heads=heads, hd=hd, gelu_tanh=gelu_tanh, batched_attn=batched_attn,
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((Dp // 2, 3 * Dp)), full((1, 3 * Dp)), full((1, 3 * Dp)),
+            full((Dp // 2, Dp)), full((1, Dp)), full((1, Dp)),
+            full((2, Dp)), full((2, Dp)),
+            full((Dp // 2, Hcols)), full((1, Hcols)), full((1, Hcols)),
+            full((Hcols // 2, Dp)), full((1, Dp)), full((1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt * Np, Dp), jnp.bfloat16),
+            pltpu.VMEM((Dp, 3 * Dp), jnp.bfloat16),
+            pltpu.VMEM((Dp, Dp), jnp.bfloat16),
+            pltpu.VMEM((Dp, Hcols), jnp.bfloat16),
+            pltpu.VMEM((Hcols, Dp), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Dp * (3 * Dp + Dp + 2 * Hcols)
+            + 4 * B * heads * Np * Np * hd,
+            bytes_accessed=2 * B * Np * Dp * 2
+            + (4 * Dp * Dp + 2 * Dp * Hcols) // 2,
+            transcendentals=B * heads * Np * Np + B * Np * Hcols,
+        ),
+        interpret=interpret,
+    )(y, w["wqkv"], w["sqkv"], w["bqkv"],
+      w["wproj"], w["sproj"], w["bproj"], w["ln1"], w["ln2"],
+      w["wfc1"], w["sfc1"], w["bfc1"], w["wfc2"], w["sfc2"], w["bfc2"])
+
+
+def vit_forward_blockfused_w4c(packed, x, cfg, bt: int = 8,
+                               gelu_tanh: bool = True, tight: bool = True,
+                               conv_embed: bool = True,
+                               interpret: bool | None = None):
+    """W4A16 forward on the cache-unpack kernel."""
+    from dlq_tpu.models.vit import layernorm
+
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np, Dp = vit_pads(cfg, tight)
+    B = x.shape[0]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in packed["blocks"]:
+        y = vit_block_fused_w4c(y, w, n_valid=N, d_valid=D, heads=cfg.heads,
+                                hd=hd, bt=bt, gelu_tanh=gelu_tanh,
+                                interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"],
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]
