@@ -211,21 +211,18 @@ class Engine:
                 # 4-bit end to end; the site-wise weight-only path is ~6x
                 # slower, BENCH_NOTES)
                 from dlq_tpu.ops.pallas_vit_block import (
-                    pack_vit_blocks_w4, stack_vit_blocks_w4,
-                    vit_forward_multiblock_w4,
+                    pack_vit_blocks_w4, vit_forward_blockfused_w4c,
                 )
 
                 packed = pack_vit_blocks_w4(qflat, ex, cfg, tight=True)
-                # measured (tools/bench_vit_w4b.py): L12/bt8 29.1k img/s
-                # b256 vs per-layer bt8 28.7k — W4 halves the weight VMEM
-                # so deeper stacks + bt8 fit where W8's did not
-                lpk = next((L for L in (12, 6, 2, 1) if cfg.depth % L == 0))
-                packed["_chunks"] = stack_vit_blocks_w4(packed, lpk)
-                packed.pop("blocks")  # the forward reads only the stacks
 
+                # measured: cache-unpack bt4 39.5k img/s b256 / 40.0k b384
+                # (bit-identical to per-step unpack) vs multiblock L12/bt8
+                # 29.1k and per-layer uncached 28.7k — unpacking once per
+                # kernel launch into bf16 scratch beats everything else
                 def fwd_w4(p, x):
-                    return vit_forward_multiblock_w4(p, x, cfg, bt=8,
-                                                     tight=True)
+                    return vit_forward_blockfused_w4c(p, x, cfg, bt=4,
+                                                      tight=True)
 
                 eng = Engine(fwd_w4, packed, name=f"{model}_block_w4", **kw)
                 eng.qcfg = qcfg

@@ -393,3 +393,27 @@ def test_w4a8_cached_unpack_bit_identical():
     a = np.asarray(vit_forward_blockfused_w4a8(packed, x, cfg, bt=4, tight=True))
     b = np.asarray(vit_forward_blockfused_w4a8c(packed, x, cfg, bt=4, tight=True))
     np.testing.assert_array_equal(b, a)
+
+
+def test_w4a16_cached_unpack_bit_identical():
+    """Cache-unpack W4A16 kernel == per-step-unpack kernel, and the
+    weight-only from_store block engine (which deploys it) still matches."""
+    from dlq_tpu.models.vit import ViTConfig, flatten_vit, init_vit, vit_extras
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4, vit_forward_blockfused_w4,
+        vit_forward_blockfused_w4c,
+    )
+    from dlq_tpu.quant.model_quant import quantize_weights
+    from dlq_tpu.quant.qconfig import INT4_WEIGHT_ONLY_PER_OC
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(6), cfg)
+    packed = pack_vit_blocks_w4(
+        quantize_weights(flatten_vit(params), INT4_WEIGHT_ONLY_PER_OC),
+        vit_extras(params), cfg, tight=True)
+    x = jnp.asarray(np.random.default_rng(6).normal(0, 1, (8, 64, 64, 3)),
+                    jnp.float32)
+    a = np.asarray(vit_forward_blockfused_w4(packed, x, cfg, bt=4, tight=True))
+    b = np.asarray(vit_forward_blockfused_w4c(packed, x, cfg, bt=4, tight=True))
+    np.testing.assert_array_equal(b, a)
