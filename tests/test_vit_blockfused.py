@@ -417,3 +417,44 @@ def test_w4a16_cached_unpack_bit_identical():
     a = np.asarray(vit_forward_blockfused_w4(packed, x, cfg, bt=4, tight=True))
     b = np.asarray(vit_forward_blockfused_w4c(packed, x, cfg, bt=4, tight=True))
     np.testing.assert_array_equal(b, a)
+
+
+def test_gptq_feeds_w4a8_block_kernel():
+    """GPTQ-rounded int4 weights are format-identical to RTN QTensors, so
+    they pack into the W4A8 fused block kernel unchanged — and track the
+    fp32 oracle at least as well as RTN through the SAME kernel."""
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+        vit_forward,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4a8, vit_forward_blockfused_w4a8c,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.gptq import collect_hessians, gptq_quantize_weights
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(7), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim,
+                       attn_impl="xla")
+    rng = np.random.default_rng(7)
+    calib = [jnp.asarray(rng.normal(0, 1, (16, 64, 64, 3)), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT4A8_PER_CHANNEL)
+    col = collect_hessians(qf, flat, cfg, calib)
+    x = jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)
+    fp32 = np.asarray(vit_forward(params, x, cfg))
+
+    outs = {}
+    for how, qflat in (("rtn", quantize_weights(flat, INT4A8_PER_CHANNEL)),
+                       ("gptq", gptq_quantize_weights(flat, INT4A8_PER_CHANNEL, col))):
+        packed = pack_vit_blocks_w4a8(qflat, scales, ex, cfg, tight=True)
+        outs[how] = np.asarray(
+            vit_forward_blockfused_w4a8c(packed, x, cfg, tight=True))
+    e_rtn = numerics.diff(outs["rtn"], fp32).rel_l2
+    e_gptq = numerics.diff(outs["gptq"], fp32).rel_l2
+    assert e_gptq <= e_rtn * 1.05, (e_gptq, e_rtn)
