@@ -58,3 +58,20 @@ srv = InferenceServer(engine2, max_wait_ms=5.0).start()
 pred = srv.infer(x[0])
 srv.stop()
 print("served one request -> class", int(np.argmax(pred)))
+
+# 6. the int4 toolbox: GPTQ rounding + W4A8 (half the weight bytes, int8
+#    conv rate) through the same deploy surface
+from dlq_tpu.quant.gptq import bias_correct, collect_hessians, gptq_quantize_weights
+from dlq_tpu.quant.model_quant import DeployCtx, make_sites_fn
+from dlq_tpu.quant.calibrate import calibrate
+from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+scales4 = calibrate(make_sites_fn(qforward, cfg), flat, calib, INT4A8_PER_CHANNEL)
+col = collect_hessians(qforward, flat, cfg, calib)
+q4 = bias_correct(flat, gptq_quantize_weights(flat, INT4A8_PER_CHANNEL, col), col)
+int4 = np.asarray(qforward(DeployCtx(q4, scales4, INT4A8_PER_CHANNEL),
+                           jnp.asarray(x), cfg))
+w8 = sum(p["qw"].nbytes for p in engine.qflat.values())
+w4 = sum(p["qw"].nbytes for p in q4.values())
+print(f"W4A8+GPTQ: cosine {numerics.diff(int4, fp32).cosine:.4f} "
+      f"weights {w8/1e6:.1f} MB -> {w4/1e6:.1f} MB")
