@@ -88,6 +88,26 @@ def main():
     ips_int8 = batch / (r_int8["ms_median"] / 1e3)
     ips_fp32 = batch / (r_fp32["ms_median"] / 1e3)
 
+    # model-level MFU: ops/img from XLA's cost analysis of the fp32 forward
+    # (canonical op count — conv/dense MACs dominate; elementwise included),
+    # confronted against the chip int8 peak (VERDICT r1 #7)
+    from dlq_tpu.bench.roofline import PEAKS, detect_chip
+
+    try:
+        cost = (jax.jit(fp32_fwd)
+                .lower(eng_fp32.params, jnp.asarray(x)).compile()
+                .cost_analysis())
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops_batch = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_batch = 0.0
+    chip = detect_chip()
+    ops_per_img = flops_batch / batch if flops_batch else 0.0
+    tops_eff = ops_per_img * ips_int8 / 1e12
+    pct_peak = (tops_eff * 1e12 / PEAKS[chip]["int8"] * 100.0
+                if chip in PEAKS else 0.0)
+
     # accuracy: top-1 agreement int8 (fused path) vs fp32 on the bench batch
     logits_fp32 = np.asarray(eng_fp32(x))
     logits_int8 = np.asarray(jax.jit(int8_fwd)(eng_int8.params, jnp.asarray(x)))
@@ -104,6 +124,9 @@ def main():
         "int8_ms_per_batch": round(r_int8["ms_median"], 3),
         "fp32_ms_per_batch": round(r_fp32["ms_median"], 3),
         "batch": batch,
+        "model_gops_per_img": round(ops_per_img / 1e9, 3),
+        "model_tops_effective": round(tops_eff, 1),
+        "pct_int8_peak": round(pct_peak, 1),
         "top1_agreement_int8_vs_fp32": agree,
         "logits_cosine": round(cos, 6),
         "device": str(jax.devices()[0]),

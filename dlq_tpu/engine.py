@@ -53,17 +53,26 @@ class Engine:
         batch: int = 32,
         mesh: Optional[Mesh] = None,
         tensor_parallel: bool = False,
+        wire: str = "fp32",
         input_dtype: Any = jnp.float32,
         name: str = "engine",
     ):
         self.batch = batch
         self.mesh = mesh
         self.name = name
+        self.wire = wire
         self.input_dtype = input_dtype
         self.timer = StageTimer()
         self.stats = EngineStats()
         if mesh is not None:
             params = shard_params_tp(params, mesh) if tensor_parallel else replicate(params, mesh)
+            if tensor_parallel and wire != "fp32":
+                # wire-compressed TP head: the classifier weight shards on
+                # its CONTRACTION axis so the boundary all-reduce (int8/bf16
+                # wire, parallel/qcollectives) replaces GSPMD's fp32 psum
+                from dlq_tpu.parallel.shard import kshard_head_sites
+
+                params = kshard_head_sites(params, mesh)
             out_shardings = batch_sharding(mesh)
             self._fn = jax.jit(forward, out_shardings=out_shardings)
         else:
@@ -123,6 +132,10 @@ class Engine:
         qflat = quantize_weights(flat_params, qcfg)
         payload = {"qflat": qflat, "scales": act_scales or {}}
 
+        tp_wire = None
+        if (kw.get("mesh") is not None and kw.get("tensor_parallel")
+                and kw.get("wire", "fp32") != "fp32"):
+            tp_wire = (kw["mesh"], kw["wire"])
         if dynamic and not qcfg.weight_only:
             def fwd(p, x):
                 return qforward(DynamicDeployCtx(p["qflat"], qcfg), x, cfg)
@@ -130,7 +143,10 @@ class Engine:
             Ctx = SimulateCtx if simulate else DeployCtx
 
             def fwd(p, x):
-                ctx = Ctx(p["qflat"], p["scales"], qcfg)
+                if simulate:
+                    ctx = Ctx(p["qflat"], p["scales"], qcfg)
+                else:
+                    ctx = Ctx(p["qflat"], p["scales"], qcfg, tp_wire=tp_wire)
                 return qforward(ctx, x, cfg)
 
         eng = Engine(fwd, payload, **kw)
@@ -197,8 +213,15 @@ class Engine:
             ex = unflatten_extras(extras)
             # the W4 block kernels need per-OC int4 weights; a store
             # materialized to int8 at load (int4_runtime="int8") runs the
-            # W8 path instead (that is the option's documented purpose)
-            w4_blocks = (qcfg.weights.bits == 4 and qcfg.weights.group is None
+            # W8 path instead (that is the option's documented purpose).
+            # Route on the EFFECTIVE bits of the loaded block-site QTensors
+            # (not the base qcfg.weights scheme): weight_overrides may
+            # promote/demote individual sites, and the block kernels need
+            # every l{i}.* site at one uniform width.
+            blk_qw = [p["qw"] for name, p in qflat.items()
+                      if name.startswith("l") and "." in name and "qw" in p]
+            blk_bits = {(qw.bits, qw.group is None) for qw in blk_qw}
+            w4_blocks = (bool(blk_qw) and blk_bits == {(4, True)}
                          and int4_runtime != "int8")
             if ctx == "block" and qcfg.weight_only and not w4_blocks:
                 raise ValueError(
@@ -206,6 +229,16 @@ class Engine:
                     "weights (INT4_WEIGHT_ONLY_PER_OC / scheme int4_wo_pc); "
                     "group-wise or int8 weight-only stores have no fused "
                     "block path — use ctx='deploy'")
+            if (ctx == "block" and not w4_blocks
+                    and blk_bits not in ({(8, True)}, {(8, False)})):
+                # e.g. an int4a8 store whose weight_overrides promote SOME
+                # block sites to int8: neither the W4 nor the W8 packers can
+                # take mixed-width l*.* sites
+                raise ValueError(
+                    "ctx='block' needs a uniform weight scheme across the "
+                    f"transformer-block sites, got {sorted(blk_bits)} "
+                    "(weight_overrides mixing widths over l*.* sites have "
+                    "no fused block path — use ctx='deploy')")
             if ctx == "block" and qcfg.weight_only:
                 # weight-only int4: W4A16 fused block kernels (weights stay
                 # 4-bit end to end; the site-wise weight-only path is ~6x
@@ -303,9 +336,14 @@ class Engine:
         else:
             Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
                    "fused": MQ.FusedDeployCtx, "fused2": MQ.FullFusedCtx}[ctx]
+            tp_wire = None
+            if (kw.get("mesh") is not None and kw.get("tensor_parallel")
+                    and kw.get("wire", "fp32") != "fp32"):
+                tp_wire = (kw["mesh"], kw["wire"])
 
             def fwd(p, x):
-                return qf(Ctx(p["qflat"], p["scales"], qcfg), x, cfg)
+                return qf(Ctx(p["qflat"], p["scales"], qcfg, tp_wire=tp_wire),
+                          x, cfg)
 
         eng = Engine(fwd, payload, name=f"{model}_{ctx}", **kw)
         eng.qcfg = qcfg

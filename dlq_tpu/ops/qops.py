@@ -134,6 +134,7 @@ def qconv2d(
     padding: int | Tuple[int, int] = 0,
     groups: int = 1,
     fuse_relu: bool = False,
+    act_qmax: int = 127,
 ) -> jnp.ndarray:
     """W8A8 conv: quantize input with the calibrated static scale, int8 conv
     with int32 accum, fp32 per-channel rescale (+bias, +relu). The quantize
@@ -152,7 +153,7 @@ def qconv2d(
     from dlq_tpu.quant.quantize import unpack_to_layout
 
     wq = unpack_to_layout(qw)  # int8/int2 as-is, int4 unpacked in-graph
-    xq = quantize_act(x, act_scale)
+    xq = quantize_act(x, act_scale, act_qmax)
     acc = _conv_int8(xq, wq, stride, padding, groups)
     scale = act_scale * qw.scale  # () or (O,) — broadcasts over NHWC
     y = acc.astype(jnp.float32) * scale
@@ -169,6 +170,7 @@ def qdense(
     bias: Optional[jnp.ndarray],
     act_scale: Optional[jnp.ndarray] = None,
     fuse_relu: bool = False,
+    act_qmax: int = 127,
 ) -> jnp.ndarray:
     """Quantized dense.
 
@@ -183,7 +185,7 @@ def qdense(
         # group-wise W4 + quantized acts: group scales cannot fold into an
         # int epilogue, so quantize the activations (same decisions as the
         # simulate oracle) and run the dequantized-weight matmul on them.
-        x2 = (quantize_act(x2, act_scale).astype(jnp.float32)
+        x2 = (quantize_act(x2, act_scale, act_qmax).astype(jnp.float32)
               * act_scale).astype(x.dtype)
         act_scale = None
     if act_scale is not None and qw.bits == 4 and qw.group is None:
@@ -193,7 +195,7 @@ def qdense(
         from dlq_tpu.quant.quantize import unpack_int4
 
         K, N = qw.shape
-        xq = quantize_act(x2, act_scale)
+        xq = quantize_act(x2, act_scale, act_qmax)
         scale = jnp.broadcast_to(
             jnp.asarray(act_scale * qw.scale, jnp.float32), (N,))
         if (jax.default_backend() == "tpu" and K % 2 == 0
@@ -222,7 +224,7 @@ def qdense(
             raise ValueError(
                 "group-wise scales cannot fold into the int matmul epilogue; "
                 "use a per-channel scheme or the weight-only path")
-        xq = quantize_act(x2, act_scale)
+        xq = quantize_act(x2, act_scale, act_qmax)
         if int8_dot_supported(jax.default_backend()):
             acc = jax.lax.dot(xq, qw.values, preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32)

@@ -83,6 +83,62 @@ WIRE_MODES: dict[str, Callable] = {
 }
 
 
+def tp_qdense_head(
+    x: jnp.ndarray,        # [B, K] activations (batch-sharded over "data")
+    w_int8: jnp.ndarray,   # [K, N] int8 weight values, K-sharded over "model"
+    w_scale: jnp.ndarray,  # () or (N,) fp32 weight scale (replicated)
+    bias,                  # (N,) fp32 or None
+    act_scale: jnp.ndarray,  # () fp32 calibrated activation scale
+    mesh: Mesh,
+    wire: str = "int8",
+    act_qmax: int = 127,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jnp.ndarray:
+    """The PRODUCTION quantized TP classifier head: K-sharded W8A8 dense
+    whose boundary all-reduce runs with a compressed wire dtype.
+
+    Each model-rank holds a [K/mp, N] int8 weight shard and the matching
+    channel slice of the (already channel-sharded, since the last conv's OC
+    is model-sharded) feature vector; it quantizes its slice with the
+    calibrated act scale, runs the int8 partial matmul, and the fp32
+    partials are summed with WIRE_MODES[wire] — int8 wire is ~4x less ICI/
+    DCN bytes than the fp32 psum GSPMD would insert at this boundary.
+
+    Used by DeployCtx.dense when Engine(..., tensor_parallel=True,
+    wire=...) is set (see engine.py); wire="fp32" keeps GSPMD behavior.
+    """
+    reduce = WIRE_MODES[wire]
+    mp = mesh.shape[model_axis]
+    B, K = x.shape
+    N = w_int8.shape[-1]
+    assert K % mp == 0, (x.shape, mp)
+    dp = mesh.shape[data_axis]
+    assert (B // dp) % mp == 0 or wire != "int8", (
+        f"int8 wire reduce-scatter needs local batch {B}//{dp} divisible "
+        f"by model axis {mp}")
+
+    def local(xl, wl):
+        xq = jnp.clip(jnp.round(xl.astype(jnp.float32) / act_scale),
+                      -act_qmax, act_qmax).astype(jnp.int8)
+        part = jax.lax.dot(xq, wl, preferred_element_type=jnp.int32)
+        part = part.astype(jnp.float32) * (act_scale * w_scale)
+        y = reduce(part, model_axis)
+        if bias is not None:
+            y = y + bias
+        return y
+
+    from jax import shard_map
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis, model_axis), P(model_axis, None)),
+        out_specs=P(data_axis, None),
+        check_vma=False,
+    )
+    return f(x, w_int8)
+
+
 def tp_matmul_ksharded(
     x: jnp.ndarray,    # [M, K] replicated activations
     w: jnp.ndarray,    # [K, N] weight, K-sharded over `mesh` axis "model"

@@ -43,6 +43,31 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(place, params)
 
 
+def kshard_head_sites(payload: Any, mesh: Mesh,
+                      sites: tuple = ("fc", "head")) -> Any:
+    """Re-place the classifier-head QTensor with its CONTRACTION (K) axis
+    sharded over "model" — the layout tp_qdense_head (wire-compressed TP
+    boundary collective) consumes. Per-channel scales/bias stay replicated.
+    No-op for payloads without a matching 2D head site."""
+    import dataclasses
+
+    qflat = payload.get("qflat") if isinstance(payload, dict) else None
+    if qflat is None:
+        return payload
+    mp = mesh.shape["model"]
+    for s in sites:
+        p = qflat.get(s)
+        qw = p.get("qw") if isinstance(p, dict) else None
+        if (isinstance(qw, QTensor) and qw.values.ndim == 2
+                and qw.bits == 8 and qw.values.shape[0] % mp == 0):
+            vals = jax.device_put(qw.values, NamedSharding(mesh, P("model", None)))
+            scale = jax.device_put(qw.scale, NamedSharding(mesh, P()))
+            p["qw"] = dataclasses.replace(qw, values=vals, scale=scale)
+            if p.get("b") is not None:
+                p["b"] = jax.device_put(p["b"], NamedSharding(mesh, P()))
+    return payload
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     def place(leaf):
         if isinstance(leaf, (jax.Array, np.ndarray)):

@@ -41,13 +41,11 @@ class HessianCollector:
     input Hessian H = sum X^T X (float64, IHW-ordered K for convs — the
     ordering `lax.conv_general_dilated_patches` produces)."""
 
-    def __init__(self, flat: FlatParams, sample_rows: int = 512):
+    def __init__(self, flat: FlatParams):
         self.flat = flat
         self.H: Dict[str, np.ndarray] = {}
         self.xsum: Dict[str, np.ndarray] = {}  # sum of inputs (for E[x])
         self.col_amax: Dict[str, np.ndarray] = {}  # per-column |x| max
-        self.xsample: Dict[str, np.ndarray] = {}  # first rows (empirical scoring)
-        self.sample_rows = sample_rows
         self.n: Dict[str, int] = {}
         self.meta: Dict[str, Dict[str, Any]] = {}
 
@@ -64,11 +62,6 @@ class HessianCollector:
         ca = np.asarray(jnp.max(jnp.abs(X2), axis=0), np.float64)
         prev = self.col_amax.get(name)
         self.col_amax[name] = ca if prev is None else np.maximum(prev, ca)
-        have = self.xsample.get(name)
-        if have is None or have.shape[0] < self.sample_rows:
-            take = self.sample_rows - (0 if have is None else have.shape[0])
-            rows = np.asarray(X2[:take], np.float32)
-            self.xsample[name] = rows if have is None else np.concatenate([have, rows])
 
     def mean(self, name) -> Optional[np.ndarray]:
         return (self.xsum[name] / self.n[name]) if name in self.xsum else None

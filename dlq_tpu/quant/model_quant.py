@@ -96,12 +96,38 @@ class ObserveCtx:
 
 
 class DeployCtx:
-    """Real quantized compute: W8A8 int8 MXU path, or weight-only dequant."""
+    """Real quantized compute: W8A8 int8 MXU path, or weight-only dequant.
 
-    def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig):
+    tp_wire: optional (mesh, wire_mode) set by Engine(tensor_parallel=True,
+    wire=...) — routes the 2D classifier-head dense through the K-sharded
+    compressed-wire collective (parallel/qcollectives.tp_qdense_head).
+    """
+
+    def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig,
+                 tp_wire=None):
         self.qflat = qflat
         self.act_scales = act_scales or {}
         self.qcfg = qcfg
+        self.tp_wire = tp_wire
+
+    def _tp_dense(self, name, x, p, fuse_relu):
+        from dlq_tpu.parallel.qcollectives import tp_qdense_head
+
+        mesh, wire = self.tp_wire
+        qw = p["qw"]
+        y = tp_qdense_head(
+            x, qw.values, qw.scale, p.get("b"), self.act_scales[name],
+            mesh, wire=wire, act_qmax=self.qcfg.acts.qmax)
+        return relu(y) if fuse_relu else y
+
+    def _tp_dense_ok(self, x, p):
+        if self.tp_wire is None or self.qcfg.weight_only:
+            return False
+        qw = p["qw"]
+        mesh = self.tp_wire[0]
+        return (x.ndim == 2 and qw.bits == 8 and qw.group is None
+                and qw.values.ndim == 2
+                and qw.values.shape[0] % mesh.shape["model"] == 0)
 
     def has(self, name):
         return name in self.qflat
@@ -113,12 +139,17 @@ class DeployCtx:
             y = conv2d(x, w, stride=stride, padding=padding, groups=groups, bias=p.get("b"))
             return relu(y) if fuse_relu else y
         return qconv2d(x, p["qw"], p.get("b"), self.act_scales[name],
-                       stride=stride, padding=padding, groups=groups, fuse_relu=fuse_relu)
+                       stride=stride, padding=padding, groups=groups,
+                       fuse_relu=fuse_relu, act_qmax=self.qcfg.acts.qmax)
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
+        if self._tp_dense_ok(x, p):
+            return self._tp_dense(name, x, p, fuse_relu)
         scale = None if self.qcfg.weight_only else self.act_scales[name]
-        return qdense(x, p["qw"], p.get("b"), act_scale=scale, fuse_relu=fuse_relu)
+        qmax = 127 if self.qcfg.acts is None else self.qcfg.acts.qmax
+        return qdense(x, p["qw"], p.get("b"), act_scale=scale,
+                      fuse_relu=fuse_relu, act_qmax=qmax)
 
 
 class DynamicDeployCtx(DeployCtx):
@@ -140,12 +171,13 @@ class DynamicDeployCtx(DeployCtx):
     def conv(self, name, x, *, stride=1, padding=0, groups=1, fuse_relu=False):
         p = self.qflat[name]
         return qconv2d(x, p["qw"], p.get("b"), self._scale(x), stride=stride,
-                       padding=padding, groups=groups, fuse_relu=fuse_relu)
+                       padding=padding, groups=groups, fuse_relu=fuse_relu,
+                       act_qmax=self.qcfg.acts.qmax)
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
         return qdense(x, p["qw"], p.get("b"), act_scale=self._scale(x),
-                      fuse_relu=fuse_relu)
+                      fuse_relu=fuse_relu, act_qmax=self.qcfg.acts.qmax)
 
 
 class SimulateCtx:
@@ -257,8 +289,13 @@ class FusedDeployCtx(DeployCtx):
 
     def dense(self, name, x, *, fuse_relu=False):
         if isinstance(x, QAct):
-            # direct int8 matmul on the already-quantized activation
             p = self.qflat[name]
+            if self._tp_dense_ok(x.q, p):
+                # wire-compressed TP head: dequantize and re-enter the
+                # shard_map K-sharded path (one extra rounding on the head)
+                return self._tp_dense(
+                    name, x.q.astype(jnp.float32) * x.scale, p, fuse_relu)
+            # direct int8 matmul on the already-quantized activation
             acc = _jax.lax.dot(x.q, _int_weight(p["qw"]),
                                preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * (x.scale * p["qw"].scale)
@@ -320,6 +357,8 @@ class PallasDeployCtx(DeployCtx):
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
+        if self._tp_dense_ok(x, p):
+            return self._tp_dense(name, x, p, fuse_relu)
         if self.qcfg.weight_only:
             return super().dense(name, x, fuse_relu=fuse_relu)
         from dlq_tpu.ops.pallas_matmul import int8_matmul_padded

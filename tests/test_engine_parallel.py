@@ -153,6 +153,61 @@ def test_tp_sharded_fused2_matches_single(setup):
     numerics.check(out, ref, atol=1e-4, what="tp_fused2")
 
 
+@pytest.mark.parametrize("wire", ["bf16", "int8"])
+def test_tp_wire_compressed_head(setup, wire):
+    """Engine(tensor_parallel=True, wire=...) routes the classifier head
+    through the K-sharded compressed-wire collective (qcollectives.
+    tp_qdense_head). Wire quantization adds bounded rounding only."""
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    ref = np.asarray(eng1(x))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    eng2 = Engine.quantized(
+        qforward, flat, cfg, INT8_PER_CHANNEL, act_scales=eng1.act_scales,
+        batch=8, mesh=mesh, tensor_parallel=True, wire=wire,
+    )
+    out = np.asarray(eng2(x))
+    d = numerics.diff(out, ref)
+    assert d.cosine > 0.9995, (wire, d)
+    assert numerics.top1_agreement(out, ref) == 1.0
+    # the head weight really is K-sharded (not GSPMD OC-sharded)
+    qw_fc = eng2.params["qflat"]["fc"]["qw"]
+    spec = qw_fc.values.sharding.spec
+    assert spec[0] == "model" and spec[1] is None, spec
+
+
+def test_tp_wire_fused2_head(setup):
+    """wire="int8" on the production fully-int8 interchange path (QAct
+    reaches the head)."""
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    payload = {"qflat": eng1.qflat, "scales": eng1.act_scales}
+
+    def fwd_ref(p, xb):
+        return qforward_fused2(FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL),
+                               xb, cfg)
+
+    ref = np.asarray(jax.jit(fwd_ref)(payload, jnp.asarray(x)))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+
+    def fwd_tp(p, xb):
+        ctx = FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL,
+                           tp_wire=(mesh, "int8"))
+        return qforward_fused2(ctx, xb, cfg)
+
+    eng2 = Engine(fwd_tp, payload, batch=8, mesh=mesh, tensor_parallel=True,
+                  wire="int8")
+    out = np.asarray(eng2(x))
+    d = numerics.diff(out, ref)
+    assert d.cosine > 0.999, d
+    assert numerics.top1_agreement(out, ref) == 1.0
+
+
 def test_tp_sharded_w4a8_matches_single(setup):
     """W4A8 (nibble-packed int4 conv/dense weights) under dp x tp sharding:
     packed values [K/2, OC] and per-OC scales shard on the same channel axis,

@@ -56,3 +56,32 @@ def test_tp_matmul_ksharded(mesh8, wire, tol):
     assert _cosine(out, exact) > 0.999
     rel = np.abs(out - exact).max() / np.abs(exact).max()
     assert rel < tol, (wire, rel)
+
+
+@pytest.mark.parametrize("wire,tol", [("fp32", 1e-5), ("bf16", 3e-2), ("int8", 3e-2)])
+def test_tp_qdense_head(wire, tol):
+    """The production wire-compressed TP classifier head vs the unsharded
+    W8A8 qdense with identical quantization decisions."""
+    from dlq_tpu.ops.qops import qdense
+    from dlq_tpu.parallel.qcollectives import tp_qdense_head
+    from dlq_tpu.quant.qconfig import QScheme
+    from dlq_tpu.quant.quantize import quantize_tensor
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    rng = np.random.default_rng(3)
+    B, K, N = 16, 256, 48
+    x = jnp.asarray(rng.normal(0, 1, (B, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (K, N)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (N,)), jnp.float32)
+    qw = quantize_tensor(w, QScheme(8, True, -1))
+    act_scale = jnp.float32(np.abs(np.asarray(x)).max() / 127.0)
+
+    ref = np.asarray(qdense(x, qw, b, act_scale=act_scale))
+    out = np.asarray(tp_qdense_head(x, qw.values, qw.scale, b, act_scale,
+                                    mesh, wire=wire))
+    d_cos = _cosine(out, ref)
+    assert d_cos > 1 - tol, (wire, d_cos)
+    if wire == "fp32":
+        np.testing.assert_allclose(out, ref, atol=1e-4)

@@ -67,6 +67,38 @@ def test_deploy_matches_simulate(setup):
     assert numerics.diff(dep, sim).cosine > 0.999
 
 
+def test_deploy_sub8bit_acts_clip(setup):
+    """DeployCtx/DynamicDeployCtx must clip activations at the scheme's
+    qmax (e.g. ±7 for 4-bit acts), not a hardcoded ±127 — on inputs that
+    exceed the calibrated amax the deploy path would otherwise silently
+    diverge from SimulateCtx (which fake-quants at ±qmax)."""
+    from dlq_tpu.quant.model_quant import DynamicDeployCtx
+    from dlq_tpu.quant.qconfig import QScheme
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = QConfig(weights=QScheme(8, True, -1), acts=QScheme(4, True, None))
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+    # 3x the calibration range so runtime acts exceed calibrated amax and
+    # MUST saturate at ±7 (per-site check: whole-net comparison at 4-bit
+    # act steps is dominated by rounding-tie boundary crossings)
+    x_hot = x * 3.0
+    dc = DeployCtx(qflat, scales, qcfg)
+    sc = SimulateCtx(qflat, scales, qcfg)
+    y_d = np.asarray(dc.conv("stem", x_hot, stride=1, padding=1, fuse_relu=True))
+    y_s = np.asarray(sc.conv("stem", x_hot, stride=1, padding=1, fuse_relu=True))
+    assert numerics.diff(y_d, y_s).max_abs < 1e-4
+    feat = jnp.asarray(
+        np.random.default_rng(1).normal(0, 3, (4, 512)), jnp.float32)
+    d_d = np.asarray(dc.dense("fc", feat))
+    d_s = np.asarray(sc.dense("fc", feat))
+    assert numerics.diff(d_d, d_s).max_abs < 1e-4
+    # dynamic scales are per-batch; the same ±qmax bound must apply
+    dyn = DynamicDeployCtx(qflat, qcfg)
+    yd = np.asarray(dyn.conv("stem", x_hot, stride=1, padding=1))
+    assert np.isfinite(yd).all()
+
+
 def test_int4_weight_only(setup):
     cfg, params, flat, x, fp32 = setup
     _, _, dep = _deploy(flat, cfg, INT4_WEIGHT_ONLY_G128, x)

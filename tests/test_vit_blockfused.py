@@ -361,6 +361,27 @@ def test_block_ctx_routing_guards():
         with pytest.raises(ValueError, match="per-OC int4"):
             Engine.from_store(td + "/g128", ctx="block", batch=4)
 
+        # weight_overrides promoting SOME block sites to int8 on an int4a8
+        # base: mixed-width l*.* sites have no fused packer — explicit error
+        # (not a per-site packer crash)
+        from dataclasses import replace
+
+        from dlq_tpu.quant.qconfig import QScheme
+
+        qmix_cfg = replace(INT4A8_PER_CHANNEL,
+                           weight_overrides=(("l*.fc2", QScheme(8, True, -1)),))
+        scales_m = calibrate(make_sites_fn(qf, cfg), flat, calib, qmix_cfg)
+        qmix = quantize_weights(flat, qmix_cfg)
+        save_quantized(td + "/mix", "deit_tiny", qmix, scales_m, qmix_cfg,
+                       extras=ex, meta=meta)
+        with pytest.raises(ValueError, match="uniform weight scheme"):
+            Engine.from_store(td + "/mix", ctx="block", batch=4)
+        # materialize-at-load makes the widths uniform int8 again -> W8 path
+        eng8 = Engine.from_store(td + "/mix", ctx="block",
+                                 int4_runtime="int8", batch=4)
+        assert eng8.name == "deit_tiny_block"
+        assert np.isfinite(np.asarray(eng8(x))).all()
+
 
 def test_w4a8_cached_unpack_bit_identical():
     """The cache-unpack W4A8 kernel (nibbles unpacked once at grid step 0
