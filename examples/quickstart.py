@@ -75,3 +75,19 @@ w8 = sum(p["qw"].nbytes for p in engine.qflat.values())
 w4 = sum(p["qw"].nbytes for p in q4.values())
 print(f"W4A8+GPTQ: cosine {numerics.diff(int4, fp32).cosine:.4f} "
       f"weights {w8/1e6:.1f} MB -> {w4/1e6:.1f} MB")
+
+# 7. a REAL image file through the deployment input path: JPEG bytes ->
+#    decode -> native preprocess -> engine classify (the journey a serving
+#    deployment runs; tests/test_real_image_e2e.py gates it in CI)
+from PIL import Image
+
+from dlq_tpu.native import preprocess_batch_u8
+
+img_path = os.path.join(tempfile.mkdtemp(), "sample.jpg")
+rng2 = np.random.default_rng(7)
+Image.fromarray(rng2.integers(0, 255, (300, 280, 3), dtype=np.uint8)).save(
+    img_path, quality=92)
+u8 = np.asarray(Image.open(img_path).convert("RGB"))
+xin = preprocess_batch_u8([u8], size=32)  # this model is 32px small-input
+pred_file = int(engine2.classify(xin)[0])
+print(f"classified {os.path.basename(img_path)} -> class {pred_file}")
