@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -207,3 +208,193 @@ def int8_conv3x3_s1(
         ),
         interpret=interpret,
     )(xp, w9, scale2, bias2)
+
+
+# ---------------------------------------------------------------------------
+# Dual-pixel packed conv: the C=64 (layer1) lane-underfill fix
+# ---------------------------------------------------------------------------
+#
+# XLA's int8 conv runs ResNet layer1 shapes (56x56, C=OC=64) at ~50% of the
+# MXU peak: both the contraction (C=64) and output (OC=64) dims half-fill
+# the 128-lane systolic array. This kernel reshapes W-adjacent pixel PAIRS
+# into channels — x[N,H,W,64] -> x[N,H,W/2,128] is a FREE row-major
+# reinterpretation — so the 3x3 conv becomes SIX [K=128 x N=128] full-tile
+# MXU taps per output pair block:
+#
+#   out col 2m+q = sum_kw w[kh,kw] * in[2m + q + kw - 1]
+#   packed in col 2w'-1+p at pair w' = m+d  ->  kw = 2d + p - q
+#
+# giving taps d in {0,1} with weights w6[kh*2+d, (p,c), (q,oc)] that are 3/4
+# dense (kw outside 0..2 zeroes the entry). Useful-MAC fraction = 9/12 = 75%
+# of a FULL-lane MXU stream vs XLA's 50% half-lane stream — a ~1.5x
+# theoretical ceiling on the shape class, with the epilogue (per-OC rescale
+# + bias + relu + optional int8 requant for the fully-int8 interchange)
+# fused. Measured numbers in BENCH_NOTES ("dual-pixel conv").
+#
+# Reference parity note: this replaces the reference's im2col+SGEMM conv
+# pipeline (`CUDA/resnet18-kernel-lab/cpp/fp32/kernels/im2col.cu:6-57`,
+# `kernels/sgemm_tiled.cu:6-46`) on the one shape class where XLA's own
+# conv leaves MXU throughput on the table.
+
+
+def pack_w_dual(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,C,OC] int8 -> [6, 2C, 2OC] dual-pixel tap weights.
+
+    jnp-traceable (block concat), so deploy ctxs can pack per-forward — six
+    concats on a 64 KB weight are free next to the conv itself."""
+    kh3, kw3, C, OC = w.shape
+    assert (kh3, kw3) == (3, 3), w.shape
+    z = jnp.zeros((C, OC), w.dtype)
+    taps = []
+    for kh in range(3):
+        for d in range(2):
+            # block [(p, q)] = w[kh, 2d + p - q] if the kw is in 0..2
+            def blk(p, q):
+                kw = 2 * d + p - q
+                return w[kh, kw] if 0 <= kw <= 2 else z
+            taps.append(jnp.concatenate([
+                jnp.concatenate([blk(0, 0), blk(0, 1)], axis=1),
+                jnp.concatenate([blk(1, 0), blk(1, 1)], axis=1),
+            ], axis=0))
+    return jnp.stack(taps)
+
+
+def _dp_kernel(xp_hbm, w_ref, scale_ref, bias_ref, oscale_ref, o_ref, xs, sem,
+               *, TB, TOH, WQ, WPP, CP, fuse_relu, out_int8, nbuf):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    nt = n * n_t + t
+    n_nt = pl.num_programs(0) * n_t
+    slot = jax.lax.rem(nt, nbuf)
+
+    def slab_dma(nt_idx, slot_idx):
+        nn = nt_idx // n_t
+        tt = jax.lax.rem(nt_idx, n_t)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(nn * TB, TB), pl.ds(tt * TOH, TOH + 2), :, :],
+            xs.at[slot_idx],
+            sem.at[slot_idx],
+        )
+
+    @pl.when(nt == 0)
+    def _():  # cold start: fill the whole pipeline window
+        for k in range(nbuf - 1):
+            @pl.when(k < n_nt)
+            def _(k=k):
+                slab_dma(k, k).start()
+
+    @pl.when(nt + nbuf - 1 < n_nt)
+    def _():  # keep the window nbuf-1 DMAs deep
+        slab_dma(nt + nbuf - 1, jax.lax.rem(nt + nbuf - 1, nbuf)).start()
+
+    slab_dma(nt, slot).wait()
+    slab = xs[slot]  # [TB, TOH+2, WPP, CP] int8, CP = 2C
+    rows = TB * TOH * WQ
+    acc = jnp.zeros((rows, w_ref.shape[-1]), jnp.int32)
+    for kh in range(3):
+        for d in range(2):
+            a = slab[:, kh : kh + TOH, d : d + WQ, :].reshape(rows, CP)
+            acc += jax.lax.dot(a, w_ref[kh * 2 + d],
+                               preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    if fuse_relu:
+        y = jnp.maximum(y, 0.0)
+    if out_int8:
+        # divide (not multiply-by-reciprocal): bit-parity with the XLA
+        # deploy epilogue `round(y / s_out)`
+        q = jnp.clip(jnp.round(y / oscale_ref[:]),
+                     0.0 if fuse_relu else -127.0, 127.0)
+        o_ref[:] = q.astype(jnp.int8).reshape(o_ref.shape)
+    else:
+        o_ref[:] = y.reshape(o_ref.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fuse_relu", "out_int8", "interpret", "tiles", "nbuf"),
+)
+def int8_conv3x3_s1_dp(
+    x: jnp.ndarray,       # [N, H, W, C] int8 (unpadded), W even, C = 64
+    w6: jnp.ndarray,      # [6, 2C, 2OC] int8 (pack_w_dual)
+    scale: jnp.ndarray,   # (OC,) fp32 combined act*weight scale
+    bias: Optional[jnp.ndarray] = None,   # (OC,) fp32
+    out_scale: Optional[jnp.ndarray] = None,  # () fp32: emit int8 at y/out_scale
+    fuse_relu: bool = False,
+    out_int8: bool = False,
+    interpret: bool | None = None,
+    tiles=None,  # (TB, TOH)
+    nbuf: int = 4,  # slab pipeline depth (DMA-latency hiding)
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N, H, W_, CP2 = x.shape
+    C = CP2
+    n6, CP, OC2 = w6.shape
+    assert n6 == 6 and CP == 2 * C, (w6.shape, x.shape)
+    OC = OC2 // 2
+    assert W_ % 2 == 0, x.shape
+    OH, OW = H, W_
+    WQ = W_ // 2                      # output pairs per row
+    WPAIR = WQ + 1                    # input pairs incl. the -1/+0 halo
+    WPP = -(-WPAIR // 8) * 8          # sublane multiple of 8
+    # pack: pad cols by 1 each side, pair-merge (free reshape), pad H halo
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + 2 * (WPP - WPAIR)), (0, 0)))
+    xp = xpad.reshape(N, H + 2, WPP, CP)
+
+    if tiles is None:
+        TB, TOH = 1, OH
+        while TB * (TOH + 2) * WPP * CP > 4 * 1024 * 1024 and TOH > 1:
+            TOH = max(1, TOH // 2)
+        while OH % TOH != 0:
+            TOH -= 1
+    else:
+        TB, TOH = tiles
+    assert N % TB == 0 and OH % TOH == 0, (N, OH, TB, TOH)
+
+    if bias is None:
+        bias = jnp.zeros((OC,), jnp.float32)
+    scale2 = jnp.tile(jnp.broadcast_to(scale.astype(jnp.float32), (OC,)), 2).reshape(1, 2 * OC)
+    bias2 = jnp.tile(bias.astype(jnp.float32), 2).reshape(1, 2 * OC)
+    if out_scale is None:
+        oscale2 = jnp.ones((1, 2 * OC), jnp.float32)
+    else:
+        oscale2 = jnp.broadcast_to(
+            out_scale.astype(jnp.float32), (1, 2 * OC))
+
+    grid = (N // TB, OH // TOH)
+    out = pl.pallas_call(
+        functools.partial(
+            _dp_kernel, TB=TB, TOH=TOH, WQ=WQ, WPP=WPP, CP=CP,
+            fuse_relu=fuse_relu, out_int8=out_int8, nbuf=nbuf,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((6, CP, 2 * OC), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * OC), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * OC), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * OC), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, TOH, WQ, 2 * OC), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, OH, WQ, 2 * OC), jnp.int8 if out_int8 else jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, TB, TOH + 2, WPP, CP), jnp.int8),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * OH * WQ * 2 * OC * CP * 6,
+            bytes_accessed=N * (H + 2) * WPP * CP + 6 * CP * 2 * OC
+            + (1 if out_int8 else 4) * N * OH * OW * OC,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w6, scale2, bias2, oscale2)
+    # unpack the (q, oc) lane pairs back to columns: free row-major reshape
+    return out.reshape(N, OH, OW, OC)

@@ -109,7 +109,27 @@ def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int) -
         padding = (padding, padding)
     pads = [(padding[0], padding[0]), (padding[1], padding[1])]
     if groups > 1 and groups == wq.shape[-1] and wq.shape[2] == 1:
-        return _depthwise_int8_fp32conv(xq, wq, stride, pads)
+        import os
+
+        impl = os.environ.get("DLQ_DEPTHWISE", "int8")
+        if impl == "fp32":
+            # HISTORICAL path: exact on CPU, but on the TPU backend the fp32
+            # conv lowers through bf16 MXU passes and is NOT exact for int8
+            # products (bench_round2 phase C) — kept only for A/B repro
+            return _depthwise_int8_fp32conv(xq, wq, stride, pads)
+        if impl == "stencil":
+            return _depthwise_int8_stencil(xq, wq, stride, pads)
+        # int8 grouped conv with int32 accumulation: exact AND native rate.
+        # The round-1 libtpu miscompiled this when fused with requant
+        # epilogues (tools/repro_int8_backend_bugs.py); re-validated exact
+        # on the current libtpu (tools/bench_round2.py phase C) and gated
+        # model-level in tests + the bench_round2b depthwise A/B.
+        return jax.lax.conv_general_dilated(
+            xq, wq, stride, pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
     if int8_conv_supported(jax.default_backend()):
         return jax.lax.conv_general_dilated(
             xq, wq, stride, pads,

@@ -104,11 +104,15 @@ class DeployCtx:
     """
 
     def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig,
-                 tp_wire=None):
+                 tp_wire=None, dp_conv: bool = False):
         self.qflat = qflat
         self.act_scales = act_scales or {}
         self.qcfg = qcfg
         self.tp_wire = tp_wire
+        # dual-pixel packed Pallas conv for the C=OC=64 3x3/s1 shape class
+        # (ResNet layer1) — pixel pairs in lanes fill the MXU where XLA's
+        # conv runs at 50% (ops/pallas_conv.int8_conv3x3_s1_dp)
+        self.dp_conv = dp_conv
 
     def _tp_dense(self, name, x, p, fuse_relu):
         from dlq_tpu.parallel.qcollectives import tp_qdense_head
@@ -265,6 +269,26 @@ class FusedDeployCtx(DeployCtx):
         else:
             s_in = self.act_scales[name]
             xq = quantize_act(x, s_in, self.qcfg.acts.qmax)
+        if (self.dp_conv and stride in (1, (1, 1)) and padding in (1, (1, 1))
+                and groups == 1 and not fuse_relu6
+                and self.qcfg.acts.qmax == 127 and p["qw"].bits == 8):
+            w_hwio = _int_weight(p["qw"])
+            if (w_hwio.shape[:2] == (3, 3) and w_hwio.shape[2] == 64
+                    and w_hwio.shape[3] == 64 and xq.shape[2] % 2 == 0):
+                from dlq_tpu.ops.pallas_conv import (
+                    int8_conv3x3_s1_dp, pack_w_dual,
+                )
+
+                w6 = pack_w_dual(w_hwio)
+                combined = s_in * p["qw"].scale
+                if out_site is None:
+                    return int8_conv3x3_s1_dp(
+                        xq, w6, combined, p.get("b"), fuse_relu=fuse_relu)
+                s_out = self.act_scales[out_site]
+                q = int8_conv3x3_s1_dp(
+                    xq, w6, combined, p.get("b"), out_scale=s_out,
+                    fuse_relu=fuse_relu, out_int8=True)
+                return QAct(q, s_out)
         acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups)
         combined = s_in * p["qw"].scale  # () or (OC,)
         y = acc.astype(jnp.float32) * combined

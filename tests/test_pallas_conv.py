@@ -67,3 +67,84 @@ def test_pallas_deploy_ctx_matches_xla_deploy():
     ref = np.asarray(qforward(DeployCtx(qflat, scales, INT8_PER_CHANNEL), x, cfg))
     pal = np.asarray(qforward(PallasDeployCtx(qflat, scales, INT8_PER_CHANNEL), x, cfg))
     np.testing.assert_allclose(pal, ref, rtol=0, atol=1e-5)
+
+
+# ---------------- dual-pixel packed conv (layer1 shape class) ----------------
+
+@pytest.mark.parametrize("shape,tiles", [
+    ((2, 56, 56, 64, 64), None),     # ResNet layer1
+    ((4, 8, 8, 64, 64), (2, 8)),     # tiny, explicit tiles + TB > 1
+    ((1, 32, 32, 64, 64), None),     # small-input stem class
+])
+def test_conv3x3_dual_pixel_matches_xla(shape, tiles):
+    """The dual-pixel packed kernel (pixel pairs in lanes: K=128, N=128
+    full MXU tiles) must be BIT-exact vs XLA's int conv + f32 epilogue."""
+    from dlq_tpu.ops.pallas_conv import int8_conv3x3_s1_dp, pack_w_dual
+
+    N, H, W, C, OC = shape
+    rng = np.random.default_rng(2)
+    x = rng.integers(-50, 50, (N, H, W, C)).astype(np.int8)
+    w = rng.integers(-50, 50, (3, 3, C, OC)).astype(np.int8)
+    scale = (rng.random(OC) * 0.01).astype(np.float32)
+    bias = rng.normal(0, 1, OC).astype(np.float32)
+    w6 = jnp.asarray(pack_w_dual(w))
+    y = int8_conv3x3_s1_dp(jnp.asarray(x), w6, jnp.asarray(scale),
+                           jnp.asarray(bias), fuse_relu=True,
+                           interpret=True, tiles=tiles)
+    ref = _ref_conv(x, w, scale, bias, relu=True)
+    rel = np.abs(np.asarray(y, np.float64) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 1e-6, rel
+
+
+def test_conv3x3_dual_pixel_int8_out():
+    """int8-requant epilogue (the FullFusedCtx interchange contract):
+    q = clip(round((acc*scale + b) / s_out), 0, 127) with relu folded."""
+    from dlq_tpu.ops.pallas_conv import int8_conv3x3_s1_dp, pack_w_dual
+
+    N, H, W, C, OC = 2, 16, 16, 64, 64
+    rng = np.random.default_rng(3)
+    x = rng.integers(-50, 50, (N, H, W, C)).astype(np.int8)
+    w = rng.integers(-50, 50, (3, 3, C, OC)).astype(np.int8)
+    scale = (rng.random(OC) * 0.01).astype(np.float32)
+    bias = rng.normal(0, 1, OC).astype(np.float32)
+    s_out = np.float32(0.37)
+    w6 = jnp.asarray(pack_w_dual(w))
+    q = int8_conv3x3_s1_dp(jnp.asarray(x), w6, jnp.asarray(scale),
+                           jnp.asarray(bias), out_scale=jnp.float32(s_out),
+                           fuse_relu=True, out_int8=True, interpret=True)
+    assert q.dtype == jnp.int8
+    y = _ref_conv(x, w, scale, bias, relu=True)
+    # reference requant (round-half-even like jnp.round)
+    ref_q = np.clip(np.round(np.float32(y) * (1.0 / s_out)), 0, 127).astype(np.int8)
+    mismatch = np.mean(np.asarray(q) != ref_q)
+    # float32-vs-float64 epilogue ties may flip a ULP-edge row or two
+    assert mismatch < 1e-3, mismatch
+
+
+def test_fullfused_dp_conv_bit_exact():
+    """FullFusedCtx(dp_conv=True) routes layer1's C=OC=64 3x3/s1 convs
+    through the dual-pixel kernel; the fully-int8 interchange must be
+    BIT-identical to the XLA-conv path (same int32 accum, same epilogue)."""
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+        qforward_fused2,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        FullFusedCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+    cfg = ResNetConfig(depth=18, num_classes=16, small_input=False)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], INT8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+
+    ref = np.asarray(qforward_fused2(
+        FullFusedCtx(qflat, scales, INT8_PER_CHANNEL), x, cfg))
+    out = np.asarray(qforward_fused2(
+        FullFusedCtx(qflat, scales, INT8_PER_CHANNEL, dp_conv=True), x, cfg))
+    np.testing.assert_array_equal(out, ref)
