@@ -398,3 +398,146 @@ def int8_conv3x3_s1_dp(
     )(xp, w6, scale2, bias2, oscale2)
     # unpack the (q, oc) lane pairs back to columns: free row-major reshape
     return out.reshape(N, OH, OW, OC)
+
+
+# --- dp2: full-slab variant (no unaligned in-kernel sublane slices) -------
+#
+# The dp kernel's per-tap A views slice the slab's sublane (pair) dim at
+# offsets 0/1 and merge into GEMM rows; if Mosaic lowers each unaligned
+# slice+merge as a relayout COPY of the slab, the kernel is VPU-copy-bound
+# regardless of DMA depth. dp2 removes every W-dim slice from the compute:
+# each program DMAs TWO pre-shifted slabs (pair offsets 0 and 1) and runs
+# the 6 taps on FULL [TB, TOH, WQP, CP] views (kh slices are above the
+# tiled dims — free), computing WQP-padded garbage columns that the output
+# write drops. +WQP/WQ extra MACs (~14% at 56x56) for slice-free lowering.
+
+
+def _dp2_kernel(xp_hbm, w_ref, scale_ref, bias_ref, oscale_ref, o_ref, xs, sem,
+                *, TB, TOH, WQ, WQP, CP, fuse_relu, out_int8, nbuf):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    nt = n * n_t + t
+    n_nt = pl.num_programs(0) * n_t
+    slot = jax.lax.rem(nt, nbuf)
+
+    def slab_dma(nt_idx, slot_idx, d):
+        nn = nt_idx // n_t
+        tt = jax.lax.rem(nt_idx, n_t)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(nn * TB, TB), pl.ds(tt * TOH, TOH + 2),
+                      pl.ds(d, WQP), :],
+            xs.at[slot_idx, d],
+            sem.at[slot_idx, d],
+        )
+
+    @pl.when(nt == 0)
+    def _():
+        for k in range(nbuf - 1):
+            @pl.when(k < n_nt)
+            def _(k=k):
+                slab_dma(k, k, 0).start()
+                slab_dma(k, k, 1).start()
+
+    @pl.when(nt + nbuf - 1 < n_nt)
+    def _():
+        nxt = jax.lax.rem(nt + nbuf - 1, nbuf)
+        slab_dma(nt + nbuf - 1, nxt, 0).start()
+        slab_dma(nt + nbuf - 1, nxt, 1).start()
+
+    slab_dma(nt, slot, 0).wait()
+    slab_dma(nt, slot, 1).wait()
+    rows = TB * TOH * WQP
+    acc = jnp.zeros((rows, w_ref.shape[-1]), jnp.int32)
+    for kh in range(3):
+        for d in range(2):
+            a = xs[slot, d, :, kh : kh + TOH, :, :].reshape(rows, CP)
+            acc += jax.lax.dot(a, w_ref[kh * 2 + d],
+                               preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    if fuse_relu:
+        y = jnp.maximum(y, 0.0)
+    if out_int8:
+        q = jnp.clip(jnp.round(y / oscale_ref[:]),
+                     0.0 if fuse_relu else -127.0, 127.0).astype(jnp.int8)
+        o_ref[:] = q.reshape(TB, TOH, WQP, -1)[:, :, :WQ, :]
+    else:
+        o_ref[:] = y.reshape(TB, TOH, WQP, -1)[:, :, :WQ, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fuse_relu", "out_int8", "interpret", "tiles", "nbuf"),
+)
+def int8_conv3x3_s1_dp2(
+    x: jnp.ndarray,
+    w6: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    out_scale: Optional[jnp.ndarray] = None,
+    fuse_relu: bool = False,
+    out_int8: bool = False,
+    interpret: bool | None = None,
+    tiles=None,
+    nbuf: int = 4,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N, H, W_, C = x.shape
+    n6, CP, OC2 = w6.shape
+    assert n6 == 6 and CP == 2 * C and W_ % 2 == 0, (w6.shape, x.shape)
+    OC = OC2 // 2
+    OH, OW = H, W_
+    WQ = W_ // 2
+    WQP = -(-WQ // 8) * 8            # full-slab width per tap (8-mult)
+    WPP = WQP + 8                    # pairs incl. both tap offsets, 8-mult
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 2 * WPP - W_ - 1), (0, 0)))
+    xp = xpad.reshape(N, H + 2, WPP, CP)
+
+    if tiles is None:
+        TB, TOH = 1, OH
+    else:
+        TB, TOH = tiles
+    assert N % TB == 0 and OH % TOH == 0, (N, OH, TB, TOH)
+    if bias is None:
+        bias = jnp.zeros((OC,), jnp.float32)
+    scale2 = jnp.tile(jnp.broadcast_to(scale.astype(jnp.float32), (OC,)), 2).reshape(1, 2 * OC)
+    bias2 = jnp.tile(bias.astype(jnp.float32), 2).reshape(1, 2 * OC)
+    oscale2 = (jnp.ones((1, 2 * OC), jnp.float32) if out_scale is None
+               else jnp.broadcast_to(out_scale.astype(jnp.float32), (1, 2 * OC)))
+
+    grid = (N // TB, OH // TOH)
+    out = pl.pallas_call(
+        functools.partial(
+            _dp2_kernel, TB=TB, TOH=TOH, WQ=WQ, WQP=WQP, CP=CP,
+            fuse_relu=fuse_relu, out_int8=out_int8, nbuf=nbuf,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((6, CP, 2 * OC), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * OC), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * OC), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * OC), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TB, TOH, WQ, 2 * OC), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, OH, WQ, 2 * OC), jnp.int8 if out_int8 else jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, 2, TB, TOH + 2, WQP, CP), jnp.int8),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * OH * WQP * 2 * OC * CP * 6,
+            bytes_accessed=2 * N * (H + 2) * WQP * CP + 6 * CP * 2 * OC
+            + (1 if out_int8 else 4) * N * OH * OW * OC,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w6, scale2, bias2, oscale2)
+    return out.reshape(N, OH, OW, OC)
