@@ -114,6 +114,18 @@ def main():
     agree = numerics.top1_agreement(logits_int8, logits_fp32)
     cos = numerics.diff(logits_int8, logits_fp32).cosine
 
+    # loud-fail gates (VERDICT r2 #8): the headline is only meaningful if
+    # the int8 path still matches fp32 argmax-for-argmax on this batch and
+    # the MFU denominator was actually computed
+    fail = None
+    if agree < 1.0:
+        fail = (f"top-1 agreement {agree} < 1.0 — int8 fused path diverged "
+                "from fp32 (backend miscompile or quant regression)")
+    elif cos < 0.999:
+        fail = f"logits cosine {cos:.5f} < 0.999"
+    elif flops_batch == 0.0:
+        fail = "cost_analysis returned no flops — MFU fields are vacuous"
+
     print(json.dumps({
         "metric": "resnet18_int8_images_per_sec_per_chip",
         "value": round(ips_int8, 2),
@@ -131,7 +143,12 @@ def main():
         "logits_cosine": round(cos, 6),
         "device": str(jax.devices()[0]),
         "wall_s": round(time.time() - t0, 1),
+        **({"FAILED": fail} if fail else {}),
     }))
+    if fail:
+        print(f"BENCH FAILED: {fail}", file=sys.stderr)
+        return 2
+    return 0
 
 
 if __name__ == "__main__":

@@ -42,6 +42,25 @@ class EngineStats:
         return self.images / (self.ms_total / 1e3) if self.ms_total else 0.0
 
 
+def wire_site_list(payload: Any, wire_scope: str) -> tuple:
+    """Dense sites allowed onto the compressed-wire K-sharded collective.
+
+    "head" -> the classifier only (parallel/shard.TP_HEAD_SITES);
+    "mlp"  -> head + every `l<i>.fc2` transformer-MLP second projection
+              (row-parallel boundaries; VERDICT r2 #5 — wire compression
+              beyond the single head site).
+    """
+    from dlq_tpu.parallel.shard import TP_HEAD_SITES
+
+    if wire_scope == "head":
+        return TP_HEAD_SITES
+    if wire_scope != "mlp":
+        raise ValueError(f"wire_scope must be 'head' or 'mlp', got {wire_scope!r}")
+    qflat = payload.get("qflat") if isinstance(payload, dict) else None
+    body = tuple(sorted(s for s in (qflat or {}) if s.endswith(".fc2")))
+    return TP_HEAD_SITES + body
+
+
 class Engine:
     """One compiled forward + resident params; call it like a function."""
 
@@ -54,6 +73,7 @@ class Engine:
         mesh: Optional[Mesh] = None,
         tensor_parallel: bool = False,
         wire: str = "fp32",
+        wire_scope: str = "head",
         input_dtype: Any = jnp.float32,
         name: str = "engine",
     ):
@@ -64,15 +84,21 @@ class Engine:
         self.input_dtype = input_dtype
         self.timer = StageTimer()
         self.stats = EngineStats()
+        self.wire_sites = None
         if mesh is not None:
             params = shard_params_tp(params, mesh) if tensor_parallel else replicate(params, mesh)
             if tensor_parallel and wire != "fp32":
-                # wire-compressed TP head: the classifier weight shards on
-                # its CONTRACTION axis so the boundary all-reduce (int8/bf16
-                # wire, parallel/qcollectives) replaces GSPMD's fp32 psum
+                # wire-compressed TP boundaries: the opted-in weights shard
+                # on their CONTRACTION axis so the boundary all-reduce
+                # (int8/bf16 wire, parallel/qcollectives) replaces GSPMD's
+                # fp32 psum. scope "head" = classifier only; "mlp" adds
+                # every transformer-MLP fc2 (the Megatron row-parallel
+                # boundary — fc1 stays column-parallel/OC-sharded).
                 from dlq_tpu.parallel.shard import kshard_head_sites
 
-                params = kshard_head_sites(params, mesh)
+                self.wire_sites = wire_site_list(params, wire_scope)
+                params = kshard_head_sites(params, mesh,
+                                           sites=self.wire_sites)
             out_shardings = batch_sharding(mesh)
             self._fn = jax.jit(forward, out_shardings=out_shardings)
         else:
@@ -106,6 +132,7 @@ class Engine:
         act_scales: Optional[Dict[str, jnp.ndarray]] = None,
         simulate: bool = False,
         dynamic: bool = False,
+        depthwise: Optional[str] = None,
         **kw,
     ) -> "Engine":
         """PTQ an fp32 flat-param model into a deployed engine.
@@ -113,7 +140,12 @@ class Engine:
         calib_batches is required unless qcfg is weight-only, act_scales are
         provided (e.g. loaded from a quantized manifest), or dynamic=True
         (calibration-free: runtime per-batch activation scales).
+
+        depthwise: grouped-conv impl override ("int8"|"fp32"|"stencil"),
+        resolved ONCE here (qops.resolve_depthwise) so two engines in one
+        process can use different impls regardless of jit caching.
         """
+        from dlq_tpu.ops.qops import resolve_depthwise
         from dlq_tpu.quant.model_quant import DynamicDeployCtx
 
         if dynamic and qcfg.weight_only:
@@ -122,6 +154,13 @@ class Engine:
         if dynamic and simulate:
             raise ValueError("simulate=True is the static fake-quant oracle; "
                              "it has no dynamic variant")
+        if (dynamic or simulate) and kw.get("wire", "fp32") != "fp32":
+            raise ValueError(
+                "wire='int8'/'bf16' (compressed TP head) applies to the "
+                "static DeployCtx path only; dynamic/simulate engines would "
+                "silently fall back to fp32 psum — drop wire= or use the "
+                "static path")
+        dw = resolve_depthwise(depthwise)
         if not qcfg.weight_only and act_scales is None and not dynamic:
             if calib_batches is None:
                 raise ValueError(
@@ -133,12 +172,15 @@ class Engine:
         payload = {"qflat": qflat, "scales": act_scales or {}}
 
         tp_wire = None
+        wsites = None
         if (kw.get("mesh") is not None and kw.get("tensor_parallel")
                 and kw.get("wire", "fp32") != "fp32"):
             tp_wire = (kw["mesh"], kw["wire"])
+            wsites = wire_site_list(payload, kw.get("wire_scope", "head"))
         if dynamic and not qcfg.weight_only:
             def fwd(p, x):
-                return qforward(DynamicDeployCtx(p["qflat"], qcfg), x, cfg)
+                return qforward(DynamicDeployCtx(p["qflat"], qcfg,
+                                                 depthwise=dw), x, cfg)
         else:
             Ctx = SimulateCtx if simulate else DeployCtx
 
@@ -146,7 +188,8 @@ class Engine:
                 if simulate:
                     ctx = Ctx(p["qflat"], p["scales"], qcfg)
                 else:
-                    ctx = Ctx(p["qflat"], p["scales"], qcfg, tp_wire=tp_wire)
+                    ctx = Ctx(p["qflat"], p["scales"], qcfg, tp_wire=tp_wire,
+                              depthwise=dw, wire_sites=wsites)
                 return qforward(ctx, x, cfg)
 
         eng = Engine(fwd, payload, **kw)
@@ -156,7 +199,8 @@ class Engine:
 
     @staticmethod
     def from_store(qmanifest: str, ctx: str = "deploy",
-                   int4_runtime: str = "packed", **kw) -> "Engine":
+                   int4_runtime: str = "packed",
+                   depthwise: Optional[str] = None, **kw) -> "Engine":
         """Cold-start an engine from a deployed quantized store — no torch,
         no calibration data, no fp32 weights (the artifact contract of
         quant/store.py). ctx: "deploy" | "pallas" | "fused" | "fused2"
@@ -168,9 +212,11 @@ class Engine:
         on disk only). Group-wise int4 always stays packed.
         """
         from dlq_tpu.manifest import Manifest
+        from dlq_tpu.ops.qops import resolve_depthwise
         from dlq_tpu.quant import model_quant as MQ
         from dlq_tpu.quant.store import load_quantized, materialize_int8
 
+        dw = resolve_depthwise(depthwise)
         qflat, act_scales, qcfg, extras = load_quantized(qmanifest)
         if int4_runtime == "int8":
             qflat = materialize_int8(qflat)
@@ -221,6 +267,11 @@ class Engine:
             blk_qw = [p["qw"] for name, p in qflat.items()
                       if name.startswith("l") and "." in name and "qw" in p]
             blk_bits = {(qw.bits, qw.group is None) for qw in blk_qw}
+            if ctx == "block" and not blk_qw:
+                raise ValueError(
+                    "ctx='block' needs transformer-block (l<i>.*) weight "
+                    "sites, but this store has none — not a ViT-family "
+                    "artifact? use ctx='deploy'")
             w4_blocks = (bool(blk_qw) and blk_bits == {(4, True)}
                          and int4_runtime != "int8")
             if ctx == "block" and qcfg.weight_only and not w4_blocks:
@@ -229,16 +280,14 @@ class Engine:
                     "weights (INT4_WEIGHT_ONLY_PER_OC / scheme int4_wo_pc); "
                     "group-wise or int8 weight-only stores have no fused "
                     "block path — use ctx='deploy'")
-            if (ctx == "block" and not w4_blocks
-                    and blk_bits not in ({(8, True)}, {(8, False)})):
-                # e.g. an int4a8 store whose weight_overrides promote SOME
-                # block sites to int8: neither the W4 nor the W8 packers can
-                # take mixed-width l*.* sites
+            if ctx == "block" and not w4_blocks and blk_bits != {(8, True)}:
+                # the W8 packer takes per-channel int8 only; group-wise int8
+                # scales and weight_overrides mixing widths over l*.* sites
+                # have no fused block path
                 raise ValueError(
-                    "ctx='block' needs a uniform weight scheme across the "
-                    f"transformer-block sites, got {sorted(blk_bits)} "
-                    "(weight_overrides mixing widths over l*.* sites have "
-                    "no fused block path — use ctx='deploy')")
+                    "ctx='block' needs per-channel int8 (or per-OC int4) "
+                    f"across ALL transformer-block sites, got {sorted(blk_bits)} "
+                    "— use ctx='deploy'")
             if ctx == "block" and qcfg.weight_only:
                 # weight-only int4: W4A16 fused block kernels (weights stay
                 # 4-bit end to end; the site-wise weight-only path is ~6x
@@ -330,20 +379,28 @@ class Engine:
                 raise ValueError(
                     "ctx='dynamic' quantizes activations at runtime; this "
                     "store is weight-only (acts=None) — use ctx='deploy'")
+            if kw.get("wire", "fp32") != "fp32":
+                raise ValueError(
+                    "wire='int8'/'bf16' needs static calibrated scales "
+                    "(DeployCtx family); ctx='dynamic' would silently keep "
+                    "fp32 psum — drop wire= or use a static ctx")
 
             def fwd(p, x):
-                return qf(MQ.DynamicDeployCtx(p["qflat"], qcfg), x, cfg)
+                return qf(MQ.DynamicDeployCtx(p["qflat"], qcfg, depthwise=dw),
+                          x, cfg)
         else:
             Ctx = {"deploy": MQ.DeployCtx, "pallas": MQ.PallasDeployCtx,
                    "fused": MQ.FusedDeployCtx, "fused2": MQ.FullFusedCtx}[ctx]
             tp_wire = None
+            wsites = None
             if (kw.get("mesh") is not None and kw.get("tensor_parallel")
                     and kw.get("wire", "fp32") != "fp32"):
                 tp_wire = (kw["mesh"], kw["wire"])
+                wsites = wire_site_list(payload, kw.get("wire_scope", "head"))
 
             def fwd(p, x):
-                return qf(Ctx(p["qflat"], p["scales"], qcfg, tp_wire=tp_wire),
-                          x, cfg)
+                return qf(Ctx(p["qflat"], p["scales"], qcfg, tp_wire=tp_wire,
+                              depthwise=dw, wire_sites=wsites), x, cfg)
 
         eng = Engine(fwd, payload, name=f"{model}_{ctx}", **kw)
         eng.qcfg = qcfg

@@ -98,6 +98,42 @@ def batchnorm_inference(x: jnp.ndarray, bn: Params, eps: float = BN_EPS) -> jnp.
     return x * scale + shift
 
 
+def batchnorm_train(x: jnp.ndarray, bn: Params, eps: float = BN_EPS):
+    """Training-mode BN: normalize with BATCH statistics (biased variance,
+    torch semantics). Returns (y, (batch_mean, batch_var)) so the train step
+    can EMA-update the running mean/var carried in `bn` — which do NOT enter
+    this forward (their grads are structurally zero).
+
+    The round-2 trained-accuracy study collapsed to 7% top-1 because the
+    resnet trained through `batchnorm_inference` with init stats (mean 0,
+    var 1): an 18-layer net with no effective normalization. This is the
+    fix — train with batch stats, deploy with the learned running stats
+    (folded by fold_bn exactly as before).
+    """
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))  # all but the channel (last) axis
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * (bn["gamma"].astype(jnp.float32) * inv) + bn["beta"]
+    return y.astype(x.dtype), (mean, var)
+
+
+def update_bn_stats(bn: Params, stats, momentum: float = 0.1, n: int | None = None) -> Params:
+    """EMA-update running mean/var from one batch's stats (torch momentum
+    convention: running = (1-m)*running + m*batch; var uses the unbiased
+    estimate when the reduce count `n` is given)."""
+    mean, var = stats
+    if n is not None and n > 1:
+        var = var * (n / (n - 1))
+    return {
+        "gamma": bn["gamma"],
+        "beta": bn["beta"],
+        "mean": (1 - momentum) * bn["mean"] + momentum * mean,
+        "var": (1 - momentum) * bn["var"] + momentum * var,
+    }
+
+
 def fold_bn(w: jnp.ndarray, bias: Optional[jnp.ndarray], bn: Params, eps: float = BN_EPS):
     """Fold inference BN into the preceding conv/dense weight.
 

@@ -186,6 +186,74 @@ def resnet_forward(
     return logits
 
 
+def resnet_forward_train(params: Params, x: jnp.ndarray, cfg: ResNetConfig):
+    """Training-mode forward: BN uses batch statistics (models/common.py
+    batchnorm_train). Returns (logits, bn_stats) where bn_stats maps each BN
+    site path to its (batch_mean, batch_var) — feed to apply_bn_updates
+    after the gradient step. Same topology as resnet_forward; the running
+    mean/var in params do not enter this forward."""
+    from dlq_tpu.models.common import batchnorm_train
+
+    stats: Dict[str, Any] = {}
+
+    def bn_t(y, bn, key):
+        y, s = batchnorm_train(y, bn)
+        stats[key] = s
+        return y
+
+    if cfg.small_input:
+        y = conv2d(x, params["stem"]["conv"], stride=1, padding=1)
+    else:
+        y = conv2d(x, params["stem"]["conv"], stride=2, padding=3)
+    y = relu(bn_t(y, params["stem"]["bn"], "stem.bn"))
+    if not cfg.small_input:
+        y = maxpool2d(y, 3, 2, 1)
+    for s in range(4):
+        for b, p in enumerate(params[f"layer{s+1}"]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            pre = f"layer{s+1}.{b}"
+            if cfg.bottleneck:
+                z = relu(bn_t(conv2d(y, p["conv1"]), p["bn1"], f"{pre}.bn1"))
+                z = relu(bn_t(conv2d(z, p["conv2"], stride=stride, padding=1),
+                              p["bn2"], f"{pre}.bn2"))
+                z = bn_t(conv2d(z, p["conv3"]), p["bn3"], f"{pre}.bn3")
+            else:
+                z = relu(bn_t(conv2d(y, p["conv1"], stride=stride, padding=1),
+                              p["bn1"], f"{pre}.bn1"))
+                z = bn_t(conv2d(z, p["conv2"], stride=1, padding=1),
+                         p["bn2"], f"{pre}.bn2")
+            if "down_conv" in p:
+                sc = bn_t(conv2d(y, p["down_conv"], stride=stride),
+                          p["down_bn"], f"{pre}.down_bn")
+            else:
+                sc = y
+            y = relu(z + sc)
+    g = global_avgpool(y)
+    return dense(g, params["fc"]["w"], params["fc"]["b"]), stats
+
+
+def apply_bn_updates(params: Params, stats: Dict[str, Any], n: int,
+                     momentum: float = 0.1) -> Params:
+    """EMA running-stat update for every BN site touched by
+    resnet_forward_train. `n` = the reduce count (batch * H * W per site is
+    unknown here, so pass batch size only for the unbiased-var correction's
+    n — with image batches n is large enough that biased vs unbiased is
+    negligible; torch uses the full reduce count)."""
+    from dlq_tpu.models.common import update_bn_stats
+
+    def site(path: str):
+        head, leaf = path.rsplit(".", 1)
+        if head == "stem":
+            return params["stem"], leaf
+        layer, idx = head.split(".")
+        return params[layer][int(idx)], leaf
+
+    for path, s in stats.items():
+        holder, leaf = site(path)
+        holder[leaf] = update_bn_stats(holder[leaf], s, momentum, n)
+    return params
+
+
 def fold_resnet(params: Params, cfg: ResNetConfig) -> Params:
     """Fold every inference BN into its conv -> {conv: (w, b)} deployment
     params. This is the input to the quantizer."""

@@ -61,6 +61,84 @@ def int8_dot_supported(platform: Optional[str] = None) -> bool:
         return False
 
 
+def resolve_depthwise(impl: Optional[str] = None) -> str:
+    """Resolve the depthwise-conv implementation ONCE, at construction time.
+
+    Call this when building an engine/ctx (Python time), not inside a traced
+    forward: the jit cache would otherwise freeze the first-seen env value
+    and two engines in one process could never differ (ADVICE r2).
+
+      impl given ("int8"|"fp32"|"stencil") -> used as-is
+      impl None -> DLQ_DEPTHWISE env default ("int8"), guarded by a one-time
+                   exactness canary: the historical failure mode of the int8
+                   grouped conv was SILENT wrong output on an older libtpu,
+                   so before trusting it we compare a small fused
+                   conv+requant chain against the int32 stencil oracle and
+                   fall back to the stencil if it miscompiles.
+    """
+    import os
+
+    if impl is None:
+        impl = os.environ.get("DLQ_DEPTHWISE", "int8")
+    if impl not in ("int8", "fp32", "stencil"):
+        raise ValueError(f"DLQ_DEPTHWISE must be int8|fp32|stencil, got {impl!r}")
+    if impl == "int8" and not depthwise_int8_exact(jax.default_backend()):
+        import warnings
+
+        warnings.warn(
+            "int8 grouped conv + requant canary FAILED on this backend "
+            "(the round-1 libtpu miscompile class) — depthwise falls back "
+            "to the exact int32 stencil. Set DLQ_DEPTHWISE=fp32 only for "
+            "A/B (inexact on TPU).", RuntimeWarning)
+        return "stencil"
+    return impl
+
+
+_canary_cache: dict = {}
+
+
+def depthwise_int8_exact(platform: Optional[str] = None) -> bool:
+    """One-time canary: int8 grouped conv fused with a requant epilogue vs
+    the int32 stencil oracle, on a shape from the historical miscompile
+    class (tools/repro_int8_backend_bugs.py case A). True iff bit-exact.
+
+    Can only probe at clean trace state (an inner jit invoked during an
+    outer trace is INLINED and returns tracers) — a ctx constructed inside
+    a user's jit trusts the impl unless an engine/clean-state caller
+    already probed this backend (engines resolve at build time, so the
+    production paths are always guarded)."""
+    if platform in _canary_cache:
+        return _canary_cache[platform]
+    from jax._src.core import trace_state_clean  # no public alias yet
+
+    if not trace_state_clean():
+        return True
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.integers(-100, 101, (2, 16, 16, 96)), jnp.int8)
+        w = jnp.asarray(rng.integers(-80, 81, (3, 3, 1, 96)), jnp.int8)
+
+        def chain(acc):
+            y = acc.astype(jnp.float32) * 0.003 + 0.1
+            return jnp.clip(jnp.round(y / 0.021), 0, 127).astype(jnp.int8)
+
+        got = jax.jit(lambda a: chain(jax.lax.conv_general_dilated(
+            a, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=96,
+            preferred_element_type=jnp.int32)))(x)
+        ref = jax.jit(lambda a: chain(_depthwise_int8_stencil(
+            a, w, (1, 1), [(1, 1), (1, 1)])))(x)
+        got.block_until_ready()
+        ok = bool(jnp.array_equal(got, ref))
+    except Exception:
+        ok = False
+    _canary_cache[platform] = ok
+    return ok
+
+
 def _depthwise_int8_fp32conv(xq: jnp.ndarray, wq: jnp.ndarray, stride, pads) -> jnp.ndarray:
     """Depthwise conv computed as an fp32 conv over the integer values.
 
@@ -101,17 +179,21 @@ def _depthwise_int8_stencil(xq: jnp.ndarray, wq: jnp.ndarray, stride, pads) -> j
     return acc
 
 
-def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int) -> jnp.ndarray:
-    """int8 NHWC x HWIO conv -> int32 (or fp32-on-int-values fallback)."""
+def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int,
+               depthwise: Optional[str] = None) -> jnp.ndarray:
+    """int8 NHWC x HWIO conv -> int32 (or fp32-on-int-values fallback).
+
+    depthwise: explicit impl for grouped convs ("int8"|"fp32"|"stencil"),
+    normally threaded from the ctx/engine (resolve_depthwise at construction
+    time); None resolves here as a convenience for direct callers.
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
     pads = [(padding[0], padding[0]), (padding[1], padding[1])]
     if groups > 1 and groups == wq.shape[-1] and wq.shape[2] == 1:
-        import os
-
-        impl = os.environ.get("DLQ_DEPTHWISE", "int8")
+        impl = resolve_depthwise(depthwise)
         if impl == "fp32":
             # HISTORICAL path: exact on CPU, but on the TPU backend the fp32
             # conv lowers through bf16 MXU passes and is NOT exact for int8
@@ -155,6 +237,7 @@ def qconv2d(
     groups: int = 1,
     fuse_relu: bool = False,
     act_qmax: int = 127,
+    depthwise: Optional[str] = None,
 ) -> jnp.ndarray:
     """W8A8 conv: quantize input with the calibrated static scale, int8 conv
     with int32 accum, fp32 per-channel rescale (+bias, +relu). The quantize
@@ -174,7 +257,7 @@ def qconv2d(
 
     wq = unpack_to_layout(qw)  # int8/int2 as-is, int4 unpacked in-graph
     xq = quantize_act(x, act_scale, act_qmax)
-    acc = _conv_int8(xq, wq, stride, padding, groups)
+    acc = _conv_int8(xq, wq, stride, padding, groups, depthwise=depthwise)
     scale = act_scale * qw.scale  # () or (O,) — broadcasts over NHWC
     y = acc.astype(jnp.float32) * scale
     if bias is not None:

@@ -107,7 +107,15 @@ def tp_qdense_head(
 
     Used by DeployCtx.dense when Engine(..., tensor_parallel=True,
     wire=...) is set (see engine.py); wire="fp32" keeps GSPMD behavior.
+
+    Also the BODY-boundary collective for wire_scope="mlp": the ViT MLP's
+    fc2 is the Megatron row-parallel dense (fc1 column-parallel/OC-sharded
+    feeds it a model-sharded hidden), so its boundary all-reduce compresses
+    identically; 3D [B, N, K] token activations flatten to rows here.
     """
+    lead = x.shape[:-1]
+    if x.ndim != 2:
+        x = x.reshape(-1, x.shape[-1])
     reduce = WIRE_MODES[wire]
     mp = mesh.shape[model_axis]
     B, K = x.shape
@@ -115,7 +123,7 @@ def tp_qdense_head(
     assert K % mp == 0, (x.shape, mp)
     dp = mesh.shape[data_axis]
     assert (B // dp) % mp == 0 or wire != "int8", (
-        f"int8 wire reduce-scatter needs local batch {B}//{dp} divisible "
+        f"int8 wire reduce-scatter needs local rows {B}//{dp} divisible "
         f"by model axis {mp}")
 
     def local(xl, wl):
@@ -136,7 +144,8 @@ def tp_qdense_head(
         out_specs=P(data_axis, None),
         check_vma=False,
     )
-    return f(x, w_int8)
+    y = f(x, w_int8)
+    return y.reshape(lead + (N,)) if len(lead) != 1 else y
 
 
 def tp_matmul_ksharded(

@@ -43,8 +43,15 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(place, params)
 
 
+# The ONLY sites the wire-compressed TP dense path may take: the classifier
+# head. Shared by kshard_head_sites (layout) and DeployCtx._tp_dense_ok
+# (routing) so layout and routing can never disagree — intermediate denses
+# (e.g. MLP fc1/fc2) stay on the OC-sharded GSPMD path.
+TP_HEAD_SITES: tuple = ("fc", "head")
+
+
 def kshard_head_sites(payload: Any, mesh: Mesh,
-                      sites: tuple = ("fc", "head")) -> Any:
+                      sites: tuple = TP_HEAD_SITES) -> Any:
     """Re-place the classifier-head QTensor with its CONTRACTION (K) axis
     sharded over "model" — the layout tp_qdense_head (wire-compressed TP
     boundary collective) consumes. Per-channel scales/bias stay replicated.

@@ -104,15 +104,27 @@ class DeployCtx:
     """
 
     def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig,
-                 tp_wire=None, dp_conv: bool = False):
+                 tp_wire=None, dp_conv: bool = False,
+                 depthwise: Optional[str] = None,
+                 wire_sites: Optional[tuple] = None):
+        from dlq_tpu.ops.qops import resolve_depthwise
+
         self.qflat = qflat
         self.act_scales = act_scales or {}
         self.qcfg = qcfg
         self.tp_wire = tp_wire
+        # sites allowed onto the compressed-wire K-sharded dense; None ->
+        # classifier head only (parallel/shard.TP_HEAD_SITES). The engine
+        # passes the SAME tuple to kshard_head_sites so layout and routing
+        # agree (wire_scope="mlp" adds the ViT fc2 row-parallel boundaries).
+        self.wire_sites = wire_sites
         # dual-pixel packed Pallas conv for the C=OC=64 3x3/s1 shape class
         # (ResNet layer1) — pixel pairs in lanes fill the MXU where XLA's
         # conv runs at 50% (ops/pallas_conv.int8_conv3x3_s1_dp)
         self.dp_conv = dp_conv
+        # depthwise impl pinned at ctx construction (NOT read from env at
+        # trace time — the jit cache would freeze the first-seen value)
+        self.depthwise = resolve_depthwise(depthwise)
 
     def _tp_dense(self, name, x, p, fuse_relu):
         from dlq_tpu.parallel.qcollectives import tp_qdense_head
@@ -124,12 +136,21 @@ class DeployCtx:
             mesh, wire=wire, act_qmax=self.qcfg.acts.qmax)
         return relu(y) if fuse_relu else y
 
-    def _tp_dense_ok(self, x, p):
+    def _tp_dense_ok(self, name, x, p):
         if self.tp_wire is None or self.qcfg.weight_only:
+            return False
+        from dlq_tpu.parallel.shard import TP_HEAD_SITES
+
+        allowed = self.wire_sites if self.wire_sites is not None else TP_HEAD_SITES
+        if name not in allowed:
+            # only explicitly opted-in sites take the lossy compressed wire
+            # — the same tuple kshard_head_sites lays out, so a body dense
+            # can never hit the K-sharded path un-sharded (or silently
+            # accumulate per-layer wire rounding, ADVICE r2)
             return False
         qw = p["qw"]
         mesh = self.tp_wire[0]
-        return (x.ndim == 2 and qw.bits == 8 and qw.group is None
+        return (x.ndim >= 2 and qw.bits == 8 and qw.group is None
                 and qw.values.ndim == 2
                 and qw.values.shape[0] % mesh.shape["model"] == 0)
 
@@ -144,11 +165,12 @@ class DeployCtx:
             return relu(y) if fuse_relu else y
         return qconv2d(x, p["qw"], p.get("b"), self.act_scales[name],
                        stride=stride, padding=padding, groups=groups,
-                       fuse_relu=fuse_relu, act_qmax=self.qcfg.acts.qmax)
+                       fuse_relu=fuse_relu, act_qmax=self.qcfg.acts.qmax,
+                       depthwise=self.depthwise)
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
-        if self._tp_dense_ok(x, p):
+        if self._tp_dense_ok(name, x, p):
             return self._tp_dense(name, x, p, fuse_relu)
         scale = None if self.qcfg.weight_only else self.act_scales[name]
         qmax = 127 if self.qcfg.acts is None else self.qcfg.acts.qmax
@@ -165,8 +187,9 @@ class DynamicDeployCtx(DeployCtx):
     fp32 interchange only (dynamic scales can't pre-commit an int8 wire
     format between ops)."""
 
-    def __init__(self, qflat: FlatParams, qcfg: QConfig):
-        super().__init__(qflat, {}, qcfg)
+    def __init__(self, qflat: FlatParams, qcfg: QConfig,
+                 depthwise: Optional[str] = None):
+        super().__init__(qflat, {}, qcfg, depthwise=depthwise)
 
     def _scale(self, x):
         amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
@@ -176,7 +199,7 @@ class DynamicDeployCtx(DeployCtx):
         p = self.qflat[name]
         return qconv2d(x, p["qw"], p.get("b"), self._scale(x), stride=stride,
                        padding=padding, groups=groups, fuse_relu=fuse_relu,
-                       act_qmax=self.qcfg.acts.qmax)
+                       act_qmax=self.qcfg.acts.qmax, depthwise=self.depthwise)
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
@@ -289,7 +312,8 @@ class FusedDeployCtx(DeployCtx):
                     xq, w6, combined, p.get("b"), out_scale=s_out,
                     fuse_relu=fuse_relu, out_int8=True)
                 return QAct(q, s_out)
-        acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups)
+        acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups,
+                         depthwise=self.depthwise)
         combined = s_in * p["qw"].scale  # () or (OC,)
         y = acc.astype(jnp.float32) * combined
         if p.get("b") is not None:
@@ -314,7 +338,7 @@ class FusedDeployCtx(DeployCtx):
     def dense(self, name, x, *, fuse_relu=False):
         if isinstance(x, QAct):
             p = self.qflat[name]
-            if self._tp_dense_ok(x.q, p):
+            if self._tp_dense_ok(name, x.q, p):
                 # wire-compressed TP head: dequantize and re-enter the
                 # shard_map K-sharded path (one extra rounding on the head)
                 return self._tp_dense(
@@ -381,7 +405,7 @@ class PallasDeployCtx(DeployCtx):
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
-        if self._tp_dense_ok(x, p):
+        if self._tp_dense_ok(name, x, p):
             return self._tp_dense(name, x, p, fuse_relu)
         if self.qcfg.weight_only:
             return super().dense(name, x, fuse_relu=fuse_relu)

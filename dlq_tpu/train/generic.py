@@ -4,12 +4,18 @@ The MNIST ladder trains the MLP; this generalizes the same fused-step
 design (loss never leaves the device) to any (params, forward) pair — used
 to produce *trained* models for meaningful quantization-accuracy gates
 (Δtop-1 on a learned classifier rather than random weights).
+
+Optimizers: SGD+momentum (the ladder contract) and Adam (ViT-from-scratch
+needs it). LR schedule: constant or cosine with linear warmup — the lr is a
+step ARGUMENT, not closed over, so one compiled step serves the whole
+schedule. Stateful forwards (training-mode BatchNorm) pass
+`forward_train(params, x) -> (logits, aux)` + `apply_state(params, aux, n)
+-> params`; the aux path carries batch statistics around the gradient.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +28,26 @@ def softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
 
 
+def cosine_lr(base_lr: float, total_steps: int, warmup_frac: float = 0.05):
+    """Linear warmup then cosine decay to ~0 — the standard from-scratch
+    recipe (a constant lr is what collapsed the round-2 study's resnet)."""
+    warm = max(1, int(total_steps * warmup_frac))
+
+    def lr_at(step: int) -> float:
+        if step < warm:
+            return base_lr * (step + 1) / warm
+        t = (step - warm) / max(1, total_steps - warm)
+        return base_lr * 0.5 * (1.0 + float(np.cos(np.pi * t)))
+
+    return lr_at
+
+
 def make_train_step(forward: Callable, lr: float = 0.05, momentum: float = 0.9):
-    """SGD+momentum fused step for `forward(params, x) -> logits`."""
+    """SGD+momentum fused step for `forward(params, x) -> logits`.
+
+    Kept for the ladder/QAT callers; `train` below uses the schedule-aware
+    stateful step.
+    """
 
     @jax.jit
     def step(params, vel, x, y):
@@ -40,6 +64,46 @@ def make_train_step(forward: Callable, lr: float = 0.05, momentum: float = 0.9):
     return step
 
 
+def _make_step(forward: Callable, opt: str, momentum: float,
+               forward_train: Optional[Callable],
+               apply_state: Optional[Callable], batch: int):
+    """One jitted step: grads + optimizer update (+ BN running-stat update).
+    lr arrives as an argument so cosine schedules reuse the compile."""
+    fwd_t = forward_train if forward_train is not None else (
+        lambda p, x: (forward(p, x), None))
+
+    @jax.jit
+    def step(params, opt_state, x, y, lr, t):
+        def loss_fn(p):
+            logits, aux = fwd_t(p, x)
+            return softmax_ce(logits, y), (logits, aux)
+
+        (loss, (logits, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if opt == "adam":
+            m, v = opt_state
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            m = jax.tree_util.tree_map(lambda a, g: b1 * a + (1 - b1) * g, m, grads)
+            v = jax.tree_util.tree_map(lambda a, g: b2 * a + (1 - b2) * g * g, v, grads)
+            c1 = 1 - b1 ** (t + 1)
+            c2 = 1 - b2 ** (t + 1)
+            params = jax.tree_util.tree_map(
+                lambda p, mm, vv: p - lr * (mm / c1) / (jnp.sqrt(vv / c2) + eps),
+                params, m, v)
+            opt_state = (m, v)
+        else:
+            vel = jax.tree_util.tree_map(
+                lambda vv, g: momentum * vv - lr * g, opt_state, grads)
+            params = jax.tree_util.tree_map(lambda p, vv: p + vv, params, vel)
+            opt_state = vel
+        if aux is not None and apply_state is not None:
+            params = apply_state(params, aux, batch)
+        acc = jnp.mean(jnp.argmax(logits, -1) == y)
+        return params, opt_state, loss, acc
+
+    return step
+
+
 def train(
     forward: Callable,
     params: Any,
@@ -50,22 +114,38 @@ def train(
     lr: float = 0.05,
     momentum: float = 0.9,
     log_every: int = 0,
+    opt: str = "sgd",
+    schedule: Optional[str] = None,
+    warmup_frac: float = 0.05,
+    forward_train: Optional[Callable] = None,
+    apply_state: Optional[Callable] = None,
 ) -> Tuple[Any, Dict[str, Any]]:
-    step = make_train_step(forward, lr, momentum)
-    vel = jax.tree_util.tree_map(jnp.zeros_like, params)
     n = (len(X) // batch) * batch
+    steps_per_epoch = max(1, n // batch)
+    total = steps_per_epoch * epochs
+    lr_at = cosine_lr(lr, total, warmup_frac) if schedule == "cosine" else (lambda t: lr)
+    step = _make_step(forward, opt, momentum, forward_train, apply_state, batch)
+    if opt == "adam":
+        opt_state = (jax.tree_util.tree_map(jnp.zeros_like, params),
+                     jax.tree_util.tree_map(jnp.zeros_like, params))
+    else:
+        opt_state = jax.tree_util.tree_map(jnp.zeros_like, params)
     history = []
     rng = np.random.default_rng(0)
+    t = 0
     for ep in range(epochs):
         order = rng.permutation(n)
         ep_loss = ep_acc = 0.0
         steps = 0
         for i in range(0, n, batch):
             idx = order[i : i + batch]
-            params, vel, loss, acc = step(params, vel, jnp.asarray(X[idx]), jnp.asarray(Y[idx]))
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(X[idx]), jnp.asarray(Y[idx]),
+                jnp.float32(lr_at(t)), jnp.float32(t))  # jnp scalars: no retrace
             ep_loss += float(loss)
             ep_acc += float(acc)
             steps += 1
+            t += 1
         history.append({"epoch": ep, "loss": ep_loss / steps, "acc": ep_acc / steps})
         if log_every and ep % log_every == 0:
             print(f"epoch {ep}: loss {history[-1]['loss']:.4f} acc {history[-1]['acc']:.3f}")

@@ -208,6 +208,46 @@ def test_tp_wire_fused2_head(setup):
     assert numerics.top1_agreement(out, ref) == 1.0
 
 
+def test_tp_wire_mlp_body_sites():
+    """wire_scope="mlp" extends the compressed wire beyond the head: every
+    transformer fc2 (the Megatron row-parallel MLP boundary) runs K-sharded
+    with the int8-wire psum; fc1 stays column-parallel (OC-sharded). Gated
+    against the unsharded engine; checks the LAYOUT actually moved."""
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+
+    vcfg = ViTConfig(num_classes=16, image_size=32, patch=16, dim=192,
+                     depth=2, heads=3)
+    vparams = init_vit(jax.random.PRNGKey(3), vcfg)
+    vflat = flatten_vit(vparams)
+    vqf = make_qforward(vit_extras(vparams), vcfg.depth, vcfg.heads,
+                        vcfg.patch, vcfg.dim, attn_impl="xla")
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    calib = [jnp.asarray(x)]
+
+    eng1 = Engine.quantized(vqf, vflat, vcfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    ref = np.asarray(eng1(x))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    eng2 = Engine.quantized(
+        vqf, vflat, vcfg, INT8_PER_CHANNEL, act_scales=eng1.act_scales,
+        batch=8, mesh=mesh, tensor_parallel=True, wire="int8",
+        wire_scope="mlp",
+    )
+    out = np.asarray(eng2(x))
+    d = numerics.diff(out, ref)
+    assert d.cosine > 0.999, d
+    assert numerics.top1_agreement(out, ref) >= 7 / 8
+    # layout: fc2 weights K-sharded, fc1 weights still OC-sharded
+    assert set(eng2.wire_sites) >= {"head", "l0.fc2", "l1.fc2"}
+    qfc2 = eng2.params["qflat"]["l0.fc2"]["qw"]
+    assert qfc2.values.sharding.spec[0] == "model", qfc2.values.sharding.spec
+    qfc1 = eng2.params["qflat"]["l0.fc1"]["qw"]
+    assert qfc1.values.sharding.spec[-1] == "model", qfc1.values.sharding.spec
+
+
 def test_tp_sharded_w4a8_matches_single(setup):
     """W4A8 (nibble-packed int4 conv/dense weights) under dp x tp sharding:
     packed values [K/2, OC] and per-OC scales shard on the same channel axis,

@@ -159,11 +159,12 @@ def phase_c2(iters=8):
 
     outs = {}
     for impl in ("stencil", "fp32", "int8"):
-        os.environ["DLQ_DEPTHWISE"] = impl
 
         def fwd(p, xb, _i=impl):
-            os.environ["DLQ_DEPTHWISE"] = _i  # trace-time routing
-            return qf(DeployCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL), xb, cfg)
+            # explicit ctx param (round-3 API: resolved at construction,
+            # never read from env at trace time)
+            return qf(DeployCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL,
+                                depthwise=_i), xb, cfg)
 
         outs[impl] = np.asarray(jax.jit(fwd)(payload, x[:8]))
         if impl == "stencil":
@@ -178,7 +179,62 @@ def phase_c2(iters=8):
         _emit(phase="C2", check=f"mnv2_{impl}_vs_stencil",
               max_abs=float(d.max_abs), cosine=float(d.cosine),
               top1=numerics.top1_agreement(outs[impl], outs["stencil"]))
-    os.environ.pop("DLQ_DEPTHWISE", None)
+
+
+def phase_d2(iters=8):
+    """MNv2 fully-int8 interchange (fused2) UNPARK attempt: repro case B now
+    PASSES on this libtpu (runlogs/r3/repro_int8_bugs.txt), so re-test the
+    path that was parked on the int8-epilogue miscompile — correctness vs
+    DeployCtx (its fp32-interchange oracle) and throughput vs DeployCtx."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu import numerics
+    from dlq_tpu.models.mobilenetv2 import (
+        MobileNetV2Config, block_meta, fold_mobilenetv2, init_mobilenetv2,
+        make_qforward, make_qforward_fused,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        DeployCtx, FullFusedCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+    from dlq_tpu.timing import device_time_fn
+
+    rng = np.random.default_rng(2)
+    cfg = MobileNetV2Config(num_classes=1000)
+    params = init_mobilenetv2(jax.random.PRNGKey(0), cfg)
+    flat = fold_mobilenetv2(params)
+    qf = make_qforward(block_meta(cfg))
+    qff = make_qforward_fused(block_meta(cfg))
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.float32)]
+    scales = calibrate(make_sites_fn(qf, cfg), flat, calib, INT8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+    payload = {"qflat": qflat, "scales": scales}
+    batch = 384
+    x = jnp.asarray(rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
+
+    def fwd_deploy(p, xb):
+        return qf(DeployCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL,
+                            depthwise="int8"), xb, cfg)
+
+    def fwd_fused(p, xb):
+        return qff(FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL,
+                                depthwise="int8"), xb, cfg)
+
+    ld = np.asarray(jax.jit(fwd_deploy)(payload, x[:8]))
+    lf = np.asarray(jax.jit(fwd_fused)(payload, x[:8]))
+    d = numerics.diff(lf, ld)
+    _emit(phase="D2", check="mnv2_fused2_vs_deploy", cosine=float(d.cosine),
+          max_abs=float(d.max_abs), top1=numerics.top1_agreement(lf, ld),
+          finite=bool(np.isfinite(lf).all()),
+          constant=bool(np.std(lf) < 1e-6))
+    for name, fn in (("mnv2_fused2", fwd_fused),):
+        r = device_time_fn(fn, payload, x, perturb_arg=1, n_small=2,
+                           n_big=2 + iters)
+        ips = batch / (r["ms_median"] / 1e3)
+        _emit(phase="D2", variant=name, batch=batch,
+              ms=round(r["ms_median"], 3), img_s=round(ips, 0))
 
 
 def main():
@@ -193,6 +249,8 @@ def main():
         phase_a2()
     if "c2" in which:
         phase_c2()
+    if "d2" in which:
+        phase_d2()
 
 
 if __name__ == "__main__":

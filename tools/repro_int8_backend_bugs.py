@@ -38,19 +38,29 @@ def main():
     act_scale = jnp.float32(0.05)
     w_scale = jnp.asarray(rng.uniform(0.001, 0.02, (C,)), jnp.float32)
 
-    def depthwise(xf, conv_dtype):
+    def depthwise_int8(xf):
         xq = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
         acc = jax.lax.conv_general_dilated(
-            xq.astype(conv_dtype), w.astype(conv_dtype), (1, 1), "SAME",
+            xq, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C,
-            preferred_element_type=jnp.int32 if conv_dtype == jnp.int8 else jnp.float32,
+            feature_group_count=C, preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * (act_scale * w_scale)
         return jnp.maximum(y, 0.0)  # the epilogue that provokes the fusion bug
 
-    oracle = np.asarray(jax.jit(lambda a: depthwise(a, jnp.float32))(x))
-    got = np.asarray(jax.jit(lambda a: depthwise(a, jnp.int8))(x))
+    def depthwise_stencil(xf):
+        # oracle = exact int32 stencil (NOT the fp32-on-int conv: that path
+        # lowers through bf16 MXU passes on TPU and is itself inexact —
+        # round-2 finding, BENCH_NOTES "Depthwise int8")
+        from dlq_tpu.ops.qops import _depthwise_int8_stencil
+
+        xq = jnp.clip(jnp.round(xf / act_scale), -127, 127).astype(jnp.int8)
+        acc = _depthwise_int8_stencil(xq, w, (1, 1), [(1, 1), (1, 1)])
+        y = acc.astype(jnp.float32) * (act_scale * w_scale)
+        return jnp.maximum(y, 0.0)
+
+    oracle = np.asarray(jax.jit(depthwise_stencil)(x))
+    got = np.asarray(jax.jit(depthwise_int8)(x))
     d = float(np.abs(got - oracle).max()) if np.isfinite(got).all() else float("inf")
     ok = d < 1e-3
     failures += not ok
