@@ -227,6 +227,107 @@ def _conv_int8(xq: jnp.ndarray, wq: jnp.ndarray, stride, padding, groups: int,
     )
 
 
+def pack_w_dual_xla(w: jnp.ndarray) -> jnp.ndarray:
+    """Weights for the WIDTH-PAIR PACKED conv rewrite of a 3x3/s1/p1 conv
+    with small channel counts (ResNet layer1: C=OC=64, where XLA's int8
+    conv runs at 50% lane fill).
+
+    The rewrite: pad x by 1, merge width pairs into channels (a FREE
+    row-major reshape, [N,H+2,W+2,C] -> [N,H+2,(W+2)/2,2C]), run ONE
+    3x2-window VALID conv with 2C input and 2C output channels (full
+    128-lane fill), and reshape the output pairs back. Output channel
+    block j in {0,1} holds output pixel w=2*w2+j; input channel block k
+    holds pixel 2m+k. Tap algebra: original tap v contributes to (t, k, j)
+    with v = 2t + k - j; out-of-range taps are ZERO weights, so the sums
+    are bit-identical to the original conv at a 4/3 MAC overhead —
+    theoretical net ~1.5x over the 50%-util direct conv.
+
+    w: [3, 3, C, OC] -> [3, 2, 2C, 2OC].
+    """
+    kh, kw, C, OC = w.shape
+    assert (kh, kw) == (3, 3), w.shape
+    blocks = []
+    for t in range(2):
+        rows = []
+        for k in range(2):
+            cols = []
+            for j in range(2):
+                v = 2 * t + k - j
+                cols.append(w[:, v] if 0 <= v < 3 else jnp.zeros_like(w[:, 0]))
+            rows.append(jnp.concatenate(cols, axis=-1))    # [3, C, 2OC]
+        blocks.append(jnp.concatenate(rows, axis=-2))      # [3, 2C, 2OC]
+    return jnp.stack(blocks, axis=1)                       # [3, 2, 2C, 2OC]
+
+
+def conv_int8_dpx(xq: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
+    """Width-pair packed int8 conv (see pack_w_dual_xla): exact rewrite of
+    conv3x3/s1/p1 for even-width inputs. xq [N,H,W,C] int8, w2 the packed
+    [3,2,2C,2OC] weights; returns int32 [N,H,W,OC]."""
+    N, H, W, C = xq.shape
+    assert W % 2 == 0, xq.shape
+    OC2 = w2.shape[-1]
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x2 = xp.reshape(N, H + 2, (W + 2) // 2, 2 * C)
+    acc = jax.lax.conv_general_dilated(
+        x2, w2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )  # [N, H, W//2 ... wait: (W+2)/2 - 2 + 1 = W/2] -> [N,H,W/2,2OC]
+    return acc.reshape(N, H, W, OC2 // 2)
+
+
+def pack_w_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Weights for the SPACE-TO-DEPTH rewrite of a 3x3/s2/p1 conv
+    (stage_roofline r3: XLA runs the 56-square stride-2 conv at 24% of int8
+    peak). Pad x by 1, s2d(2) it (one transpose + reshapes), and run a
+    2x2-window VALID conv with 4C input channels: tap (u,v) lands at
+    (t_h, t_w, block kh*2+kw) with u = 2*t_h + kh, v = 2*t_w + kw; the
+    (th,kh)=(1,1) row is ZERO (u=3 out of range) — 16C/9C = 1.78x MAC
+    overhead, bit-exact. w: [3,3,C,OC] -> [2,2,4C,OC]."""
+    kh_, kw_, C, OC = w.shape
+    assert (kh_, kw_) == (3, 3), w.shape
+    rows = []
+    for th in range(2):
+        cols = []
+        for tw in range(2):
+            blocks = []
+            for kh in range(2):
+                for kw in range(2):
+                    u, v = 2 * th + kh, 2 * tw + kw
+                    blocks.append(w[u, v] if (u < 3 and v < 3)
+                                  else jnp.zeros_like(w[0, 0]))
+            cols.append(jnp.concatenate(blocks, axis=0))   # [4C, OC]
+        rows.append(jnp.stack(cols, axis=0))               # [2, 4C, OC]
+    return jnp.stack(rows, axis=0)                         # [2, 2, 4C, OC]
+
+
+def conv_int8_s2d(xq: jnp.ndarray, w4: jnp.ndarray) -> jnp.ndarray:
+    """Space-to-depth int8 conv (see pack_w_s2d): exact rewrite of
+    conv3x3/s2/p1 for even H/W. xq [N,H,W,C] int8 -> int32 [N,H/2,W/2,OC]."""
+    N, H, W, C = xq.shape
+    assert H % 2 == 0 and W % 2 == 0, xq.shape
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h2, w2 = (H + 2) // 2, (W + 2) // 2
+    x4 = xp.reshape(N, h2, 2, w2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    x4 = x4.reshape(N, h2, w2, 4 * C)
+    return jax.lax.conv_general_dilated(
+        x4, w4, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def conv_int8_down_mm(xq: jnp.ndarray, w2d: jnp.ndarray) -> jnp.ndarray:
+    """1x1/s2 downsample as strided slice + int8 matmul (the direct conv
+    lowering measures 7-27% of peak at the ResNet shapes). Exact.
+    xq [N,H,W,C], w2d [C,OC] -> int32 [N,H/2,W/2,OC]."""
+    N, H, W, C = xq.shape
+    OH, OW = (H + 1) // 2, (W + 1) // 2
+    xs = xq[:, ::2, ::2, :].reshape(N * OH * OW, C)
+    acc = jax.lax.dot(xs, w2d, preferred_element_type=jnp.int32)
+    return acc.reshape(N, OH, OW, w2d.shape[-1])
+
+
 def qconv2d(
     x: jnp.ndarray,
     qw: QTensor,

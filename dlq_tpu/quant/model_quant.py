@@ -106,7 +106,8 @@ class DeployCtx:
     def __init__(self, qflat: FlatParams, act_scales: Optional[Dict[str, jnp.ndarray]], qcfg: QConfig,
                  tp_wire=None, dp_conv: bool = False,
                  depthwise: Optional[str] = None,
-                 wire_sites: Optional[tuple] = None):
+                 wire_sites: Optional[tuple] = None,
+                 rewrites: tuple = ()):
         from dlq_tpu.ops.qops import resolve_depthwise
 
         self.qflat = qflat
@@ -125,6 +126,10 @@ class DeployCtx:
         # depthwise impl pinned at ctx construction (NOT read from env at
         # trace time — the jit cache would freeze the first-seen value)
         self.depthwise = resolve_depthwise(depthwise)
+        # exact XLA-level conv rewrites for sub-roofline shape classes
+        # (stage_roofline r3): "dpx" width-pair 3x3/s1 C=OC=64, "s2d"
+        # space-to-depth 3x3/s2, "down_mm" 1x1/s2 slice+matmul
+        self.rewrites = tuple(rewrites)
 
     def _tp_dense(self, name, x, p, fuse_relu):
         from dlq_tpu.parallel.qcollectives import tp_qdense_head
@@ -298,6 +303,26 @@ class FusedDeployCtx(DeployCtx):
             w_hwio = _int_weight(p["qw"])
             if (w_hwio.shape[:2] == (3, 3) and w_hwio.shape[2] == 64
                     and w_hwio.shape[3] == 64 and xq.shape[2] % 2 == 0):
+                if self.dp_conv == "xla":
+                    # width-pair packed XLA conv: free reshapes + one int8
+                    # 3x2 conv at 128x128 channels (full lane fill, bit-
+                    # exact; qops.pack_w_dual_xla). The Pallas dual-pixel
+                    # kernel expressing the same packing was measured-
+                    # rejected (32 TOPS, runlogs/r3) — this lets XLA's own
+                    # conv do it.
+                    from dlq_tpu.ops.qops import conv_int8_dpx, pack_w_dual_xla
+
+                    acc = conv_int8_dpx(xq, pack_w_dual_xla(w_hwio))
+                    y = acc.astype(jnp.float32) * (s_in * p["qw"].scale)
+                    if p.get("b") is not None:
+                        y = y + p["b"]
+                    if out_site is None:
+                        return jnp.maximum(y, 0.0) if fuse_relu else y
+                    s_out = self.act_scales[out_site]
+                    qmax = self.qcfg.acts.qmax
+                    lo = 0.0 if fuse_relu else -float(qmax)
+                    q = jnp.clip(jnp.round(y / s_out), lo, qmax).astype(jnp.int8)
+                    return QAct(q, s_out)
                 from dlq_tpu.ops.pallas_conv import (
                     int8_conv3x3_s1_dp, pack_w_dual,
                 )
@@ -312,8 +337,34 @@ class FusedDeployCtx(DeployCtx):
                     xq, w6, combined, p.get("b"), out_scale=s_out,
                     fuse_relu=fuse_relu, out_int8=True)
                 return QAct(q, s_out)
-        acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups,
-                         depthwise=self.depthwise)
+        stride_t = (stride, stride) if isinstance(stride, int) else stride
+        pad_t = (padding, padding) if isinstance(padding, int) else padding
+        wq8 = p["qw"]
+        acc = None
+        if (self.rewrites and groups == 1 and wq8.bits == 8
+                and xq.shape[1] % 2 == 0 and xq.shape[2] % 2 == 0):
+            w_hwio = _int_weight(wq8)
+            kh, kw = w_hwio.shape[:2]
+            if ("dpx" in self.rewrites and (kh, kw) == (3, 3)
+                    and stride_t == (1, 1) and pad_t == (1, 1)
+                    and w_hwio.shape[2] == 64 and w_hwio.shape[3] == 64):
+                from dlq_tpu.ops.qops import conv_int8_dpx, pack_w_dual_xla
+
+                acc = conv_int8_dpx(xq, pack_w_dual_xla(w_hwio))
+            elif ("s2d" in self.rewrites and (kh, kw) == (3, 3)
+                    and stride_t == (2, 2) and pad_t == (1, 1)):
+                from dlq_tpu.ops.qops import conv_int8_s2d, pack_w_s2d
+
+                acc = conv_int8_s2d(xq, pack_w_s2d(w_hwio))
+            elif ("down_mm" in self.rewrites and (kh, kw) == (1, 1)
+                    and stride_t == (2, 2) and pad_t == (0, 0)):
+                from dlq_tpu.ops.qops import conv_int8_down_mm
+
+                acc = conv_int8_down_mm(
+                    xq, w_hwio.reshape(w_hwio.shape[2], w_hwio.shape[3]))
+        if acc is None:
+            acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups,
+                             depthwise=self.depthwise)
         combined = s_in * p["qw"].scale  # () or (OC,)
         y = acc.astype(jnp.float32) * combined
         if p.get("b") is not None:

@@ -135,17 +135,20 @@ def train(
     t = 0
     for ep in range(epochs):
         order = rng.permutation(n)
-        ep_loss = ep_acc = 0.0
-        steps = 0
+        losses, accs = [], []
         for i in range(0, n, batch):
             idx = order[i : i + batch]
             params, opt_state, loss, acc = step(
                 params, opt_state, jnp.asarray(X[idx]), jnp.asarray(Y[idx]),
                 jnp.float32(lr_at(t)), jnp.float32(t))  # jnp scalars: no retrace
-            ep_loss += float(loss)
-            ep_acc += float(acc)
-            steps += 1
+            # keep device scalars; one sync per EPOCH, not per step (a
+            # per-step float() costs a relay round-trip on the TPU tunnel)
+            losses.append(loss)
+            accs.append(acc)
             t += 1
+        steps = len(losses)
+        ep_loss = float(np.sum(np.asarray(jax.device_get(losses))))
+        ep_acc = float(np.sum(np.asarray(jax.device_get(accs))))
         history.append({"epoch": ep, "loss": ep_loss / steps, "acc": ep_acc / steps})
         if log_every and ep % log_every == 0:
             print(f"epoch {ep}: loss {history[-1]['loss']:.4f} acc {history[-1]['acc']:.3f}")
