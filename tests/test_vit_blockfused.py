@@ -374,7 +374,7 @@ def test_block_ctx_routing_guards():
         qmix = quantize_weights(flat, qmix_cfg)
         save_quantized(td + "/mix", "deit_tiny", qmix, scales_m, qmix_cfg,
                        extras=ex, meta=meta)
-        with pytest.raises(ValueError, match="uniform weight scheme"):
+        with pytest.raises(ValueError, match="per-channel int8"):
             Engine.from_store(td + "/mix", ctx="block", batch=4)
         # materialize-at-load makes the widths uniform int8 again -> W8 path
         eng8 = Engine.from_store(td + "/mix", ctx="block",
