@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from dlq_tpu.platform import apply_platform_env
+
+    apply_platform_env()  # DLQ_PLATFORM=cpu escapes the forced TPU backend (CI smoke)
     t0 = time.time()
     batch = int(os.environ.get("BENCH_BATCH", "384"))  # b384 peak: 48.2k vs b256 47.4k vs b512 46.3k (BENCH_NOTES)
     iters = int(os.environ.get("BENCH_ITERS", "20"))

@@ -13,6 +13,8 @@ import os
 
 def apply_platform_env() -> None:
     plat = os.environ.get("DLQ_PLATFORM")
+    if os.environ.get("DLQ_COMPILE_CACHE"):
+        enable_compile_cache(os.environ["DLQ_COMPILE_CACHE"])
     if not plat:
         return
     import jax
@@ -21,3 +23,23 @@ def apply_platform_env() -> None:
     if n and plat == "cpu":
         jax.config.update("jax_num_cpu_devices", int(n))
     jax.config.update("jax_platforms", plat)
+
+
+def enable_compile_cache(path: str = "~/.cache/dlq_tpu_xla") -> bool:
+    """Persistent XLA compilation cache: executables cached on disk keyed by
+    HLO, so a SECOND process jitting the same engine skips the multi-minute
+    TPU compile (deployment cold-start + this environment's relay warmup).
+    Set DLQ_COMPILE_CACHE=<dir> (or call this) before the first jit.
+    Returns False if this jax/backend combination can't persist (harmless).
+    """
+    try:
+        import jax
+
+        p = os.path.expanduser(path if isinstance(path, str) and path not in ("1", "true") else "~/.cache/dlq_tpu_xla")
+        os.makedirs(p, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", p)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        return True
+    except Exception:
+        return False
