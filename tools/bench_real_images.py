@@ -122,16 +122,19 @@ def main():
     pad = (-n) % B
     Xp = np.concatenate([X, X[:pad]]) if pad else X
 
+    from dlq_tpu.timing import device_time_fn
+
     def run(fn, payload):
-        # warmup batch (compile), then stream all batches, wall-timed
-        fn(payload, jnp.asarray(Xp[:B])).block_until_ready()
-        outs = []
-        t = time.time()
-        for i in range(0, len(Xp), B):
-            outs.append(fn(payload, jnp.asarray(Xp[i:i + B])))
-        outs[-1].block_until_ready()
-        dt = time.time() - t
-        return np.concatenate([np.asarray(o) for o in outs])[:n], dt
+        # logits over all batches (for agreement), then DEVICE time via the
+        # chained-slope method — wall bracketing through the relay is
+        # meaningless (block_until_ready is not a barrier there; the first
+        # run of this tool produced 0.75 vs 18 ms/img nonsense that way)
+        outs = [np.asarray(fn(payload, jnp.asarray(Xp[i:i + B])))
+                for i in range(0, len(Xp), B)]
+        r = device_time_fn(fn, payload, jnp.asarray(Xp[:B]), perturb_arg=1,
+                           n_small=2, n_big=10)
+        dt = r["ms_median"] / 1e3 * (len(Xp) / B)
+        return np.concatenate(outs)[:n], dt
 
     lf, t_fp32 = run(fp32_fn, flat)
     lq, t_int8 = run(int8_fn, pay)
