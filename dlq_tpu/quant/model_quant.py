@@ -159,6 +159,29 @@ class DeployCtx:
                 and qw.values.ndim == 2
                 and qw.values.shape[0] % mesh.shape["model"] == 0)
 
+    def _tp_pin(self, t, *, sharded: bool):
+        """TP body wire control (round 4): pin a fused-conv tensor's layout
+        so the channel all-gather GSPMD inserts before the next conv rides
+        the INT8 epilogue output, not the f32 accumulator. Without the pin,
+        sharding propagation gathers f32 — measured on the virtual mesh:
+        ALL boundary collectives were f32 even on the int8-interchange path
+        (runlogs/r4/comm_model.jsonl) — 4x the ICI/DCN bytes. Values are
+        unchanged (a with_sharding_constraint is layout-only); `sharded=True`
+        keeps the per-OC epilogue sharded, `sharded=False` marks the gather
+        point on the int8 tensor."""
+        if self.tp_wire is None:
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.tp_wire[0]
+        n = mesh.shape["model"]
+        if t.ndim < 2 or t.shape[-1] % n or t.shape[-1] < n:
+            return t
+        spec = P("data", *([None] * (t.ndim - 2)),
+                 "model" if sharded else None)
+        return _jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, spec))
+
     def has(self, name):
         return name in self.qflat
 
@@ -365,6 +388,10 @@ class FusedDeployCtx(DeployCtx):
         if acc is None:
             acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups,
                              depthwise=self.depthwise)
+        if groups == 1:
+            # keep the f32 accumulator + per-OC epilogue OC-sharded under
+            # TP; the boundary gather then lands on the int8 output below
+            acc = self._tp_pin(acc, sharded=True)
         combined = s_in * p["qw"].scale  # () or (OC,)
         y = acc.astype(jnp.float32) * combined
         if p.get("b") is not None:
@@ -377,6 +404,8 @@ class FusedDeployCtx(DeployCtx):
         qmax = self.qcfg.acts.qmax
         lo = 0.0 if (fuse_relu or fuse_relu6) else -float(qmax)
         q = jnp.clip(jnp.round(y / s_out), lo, qmax).astype(jnp.int8)
+        if groups == 1:
+            q = self._tp_pin(q, sharded=False)  # int8-wire gather point
         return QAct(q, s_out)
 
     def add(self, a: QAct, b: QAct) -> QAct:

@@ -51,6 +51,9 @@ def test_engine_classify_streams(setup):
     ref = np.argmax(np.asarray(resnet_forward(params, jnp.asarray(big), cfg)), -1)
     np.testing.assert_array_equal(preds, ref)
     assert eng.stats.images == 10
+    # lockstep (pipeline=1) and deeper dispatch-ahead lanes are identical
+    np.testing.assert_array_equal(eng.classify(big, pipeline=1), ref)
+    np.testing.assert_array_equal(eng.classify(big, pipeline=4), ref)
 
 
 def test_engine_quantized(setup):
@@ -206,6 +209,38 @@ def test_tp_wire_fused2_head(setup):
     d = numerics.diff(out, ref)
     assert d.cosine > 0.999, d
     assert numerics.top1_agreement(out, ref) == 1.0
+
+
+def test_tp_pin_body_bit_exact(setup):
+    """The int8-wire gather pins (_tp_pin, round 4) are layout-only: with
+    the head routing disabled (wire_sites=()) the pinned dp x tp fused2
+    forward is BIT-IDENTICAL to the unsharded run — sharding constraints
+    move the boundary all-gather onto the int8 epilogue output without
+    touching values (comm model: 4.07 -> 0.94 MB/img modeled TP wire,
+    runlogs/r4/comm_model.jsonl)."""
+    from dlq_tpu.models.resnet import qforward_fused2
+    from dlq_tpu.quant.model_quant import FullFusedCtx
+
+    cfg, params, flat, x, calib = setup
+    eng1 = Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
+                            calib_batches=calib, batch=8)
+    payload = {"qflat": eng1.qflat, "scales": eng1.act_scales}
+
+    def fwd_ref(p, xb):
+        return qforward_fused2(
+            FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL), xb, cfg)
+
+    ref = np.asarray(jax.jit(fwd_ref)(payload, jnp.asarray(x)))
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+
+    def fwd_pin(p, xb):
+        ctx = FullFusedCtx(p["qflat"], p["scales"], INT8_PER_CHANNEL,
+                           tp_wire=(mesh, "int8"), wire_sites=())
+        return qforward_fused2(ctx, xb, cfg)
+
+    eng2 = Engine(fwd_pin, payload, batch=8, mesh=mesh, tensor_parallel=True)
+    out = np.asarray(eng2(x))
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_tp_wire_mlp_body_sites():

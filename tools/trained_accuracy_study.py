@@ -185,6 +185,36 @@ def study_resnet(args, logger):
 
     _emit(stage="summary", model="resnet18s", data=args.data, top1_fp32=t1f,
           gate_int8=abs(rows[0]["delta_top1"]) <= 0.005, table=rows)
+
+    if args.qat:
+        # PTQ-vs-QAT at 4 and 2 weight bits on the TRAINED model — the
+        # INT8/INT2 training experiment the reference's roadmap names
+        # (`reports/Step2.md:164-168`). INT2 uses the standard mixed
+        # recipe (stem/fc stay int8 — ternary stem/head on 3-channel
+        # input is a known-degenerate config, not an interesting row).
+        from dlq_tpu.quant.qat import qat_train
+        from dlq_tpu.quant.qconfig import QConfig, QScheme
+
+        for bits in (4, 2):
+            ovr = ((("stem", QScheme(8, True, -1)),
+                    ("fc", QScheme(8, True, -1))) if bits == 2 else ())
+            qcfg = QConfig(weights=QScheme(bits, True, -1),
+                           acts=QScheme(8, True, None),
+                           weight_overrides=ovr)
+            scales = calibrate(make_sites_fn(qforward, cfg), flat, calib, qcfg)
+            qflat_ptq = quantize_weights(flat, qcfg)
+            run(f"ptq_rtn_int{bits}a8",
+                lambda qf=qflat_ptq, s=scales, q=qcfg: DeployCtx(qf, s, q))
+            fq, sq, hist = qat_train(qforward, flat, cfg, qcfg, X, Y,
+                                     epochs=args.qat_epochs, batch=args.batch,
+                                     lr=args.qat_lr, act_scales=scales)
+            qflat_qat = quantize_weights(fq, qcfg)
+            run(f"qat_int{bits}a8",
+                lambda qf=qflat_qat, s=sq, q=qcfg: DeployCtx(qf, s, q))
+            _emit(stage="qat", bits=bits,
+                  final_loss=round(hist["epochs"][-1]["loss"], 4),
+                  recovered=round(rows[-1]["top1_quant"]
+                                  - rows[-2]["top1_quant"], 4))
     return rows
 
 
@@ -279,6 +309,11 @@ def main():
                     help="hard gate: fp32 test acc below this aborts the "
                          "study (no vacuous delta rows)")
     ap.add_argument("--deit", action="store_true")
+    ap.add_argument("--qat", action="store_true",
+                    help="after the PTQ table, PTQ-vs-QAT at int4/int2 "
+                         "(clipped-STE fine-tune from the trained weights)")
+    ap.add_argument("--qat-epochs", type=int, default=6)
+    ap.add_argument("--qat-lr", type=float, default=0.002)
     ap.add_argument("--runlog", default="runlogs")
     args = ap.parse_args()
 
