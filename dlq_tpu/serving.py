@@ -70,8 +70,22 @@ class InferenceServer:
         return req.result
 
     def infer_many(self, xs: np.ndarray, timeout: float = 120.0) -> np.ndarray:
-        results = [self.infer(x, timeout) for x in xs]  # pipelined by the loop
-        return np.stack(results)
+        """Submit a whole array and wait once: all requests enqueue up
+        front (the dispatcher packs them into full batches), then results
+        gather in order. A sequential per-item loop would serialize one
+        batch per item — enqueue-all is what lets the batcher batch."""
+        reqs = []
+        for x in xs:
+            with self._lock:
+                self._rid += 1
+                req = _Request(self._rid, np.asarray(x), threading.Event())
+            self.q.put(req)
+            reqs.append(req)
+        deadline = time.monotonic() + timeout
+        for req in reqs:
+            if not req.done.wait(max(0.0, deadline - time.monotonic())):
+                raise TimeoutError(f"request {req.rid} timed out")
+        return np.stack([r.result for r in reqs])
 
     def _loop(self) -> None:
         B = self.engine.batch

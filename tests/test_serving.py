@@ -56,3 +56,18 @@ def test_server_stops_cleanly():
     srv, _, _ = _make_server()
     srv.stop()
     assert not srv._thread.is_alive()
+
+
+def test_infer_many_batches_not_lockstep():
+    """infer_many enqueues everything up front, so a single caller's 16
+    items pack into full batches instead of one serialized batch per item."""
+    srv, params, cfg = _make_server(batch=8, max_wait_ms=20.0)
+    try:
+        rng = np.random.default_rng(2)
+        xs = rng.normal(0, 1, (16, 784)).astype(np.float32)
+        out = srv.infer_many(xs, timeout=60)
+        ref = np.asarray(mlp_forward(params, xs, cfg))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        assert srv.stats["batches"] <= 4  # 16 items / batch 8 (+ slack)
+    finally:
+        srv.stop()
