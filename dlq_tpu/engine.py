@@ -431,34 +431,41 @@ class Engine:
         self.stats.ms_total = self.timer.ms.get("forward", 0.0)
         return out[:n]
 
+    def dispatch(self, x) -> jnp.ndarray:
+        """Async single-batch submit: pads, uploads, launches the compiled
+        forward and returns the DEVICE logits for the real rows WITHOUT
+        blocking (JAX dispatch is async; np.asarray on the result is the
+        sync point). Building block for pipelined consumers (`classify`,
+        serving double-buffer)."""
+        xp, n = pad_to_batch(x, self.batch)
+        xj = jnp.asarray(xp, self.input_dtype)
+        if self.mesh is not None:
+            xj = shard_batch(xj, self.mesh)
+        out = self._fn(self.params, xj)
+        self.stats.batches += 1
+        self.stats.images += n
+        return out[:n]
+
     def classify(self, images, top: int = 1, pipeline: int = 2) -> np.ndarray:
         """Stream any number of images; returns argmax class indices.
 
         Dispatches up to `pipeline` batches before fetching the oldest
-        result, so host-side batch assembly/upload overlaps device compute
-        (JAX dispatch is async; the fetch is the only sync point). The
-        reference's step9 loop pays a full round-trip per image
+        result, so host-side batch assembly/upload overlaps device compute.
+        The reference's step9 loop pays a full round-trip per image
         (`tools/bench_fp32_vs_torch_e2e.py:104-109`); pipeline=1 reproduces
         that per-batch lockstep for A/B.
         """
         images = np.asarray(images)
         preds = []
-        pending: list = []  # (device_logits, n_real)
+        pending: list = []  # device logits awaiting fetch
 
         def drain():
-            out, n = pending.pop(0)
-            logits = np.asarray(out)[:n]
+            logits = np.asarray(pending.pop(0))
             preds.append(np.argsort(-logits, -1)[:, :top] if top > 1
                          else np.argmax(logits, -1))
 
         for i in range(0, len(images), self.batch):
-            xp, n = pad_to_batch(images[i : i + self.batch], self.batch)
-            xj = jnp.asarray(xp, self.input_dtype)
-            if self.mesh is not None:
-                xj = shard_batch(xj, self.mesh)
-            pending.append((self._fn(self.params, xj), n))
-            self.stats.batches += 1
-            self.stats.images += n
+            pending.append(self.dispatch(images[i : i + self.batch]))
             while len(pending) >= max(1, pipeline):
                 drain()
         while pending:

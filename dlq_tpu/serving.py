@@ -87,8 +87,16 @@ class InferenceServer:
                 raise TimeoutError(f"request {req.rid} timed out")
         return np.stack([r.result for r in reqs])
 
+    def _resolve(self, pending) -> None:
+        out_dev, batch = pending
+        out = np.asarray(out_dev)  # sync point
+        for i, r in enumerate(batch):
+            r.result = out[i]
+            r.done.set()
+
     def _loop(self) -> None:
         B = self.engine.batch
+        pending = None  # (device_logits, requests) — the in-flight batch
         while not self._stop.is_set():
             batch: List[_Request] = []
             deadline = None
@@ -104,18 +112,29 @@ class InferenceServer:
                 if self._stop.is_set():
                     break
             if not batch:
+                # idle: flush the in-flight batch so low-load latency never
+                # waits on a successor that may not come
+                if pending is not None:
+                    self._resolve(pending)
+                    pending = None
                 continue
             xs = np.stack([r.x for r in batch])
             t0 = time.perf_counter()
-            out = np.asarray(self.engine(xs))
-            dt = time.perf_counter() - t0
+            # double-buffer: dispatch this batch (async), THEN resolve the
+            # previous one — device compute overlaps result distribution
+            out_dev = self.engine.dispatch(xs)
+            if pending is not None:
+                self._resolve(pending)
+            pending = (out_dev, batch)
             self.stats["batches"] += 1
             self.stats["items"] += len(batch)
-            self.stats["device_s"] += dt
+            self.stats["device_s"] += time.perf_counter() - t0
             self.stats["fill"] += len(batch) / B
-            for i, r in enumerate(batch):
-                r.result = out[i]
-                r.done.set()
+            if self.q.empty():
+                self._resolve(pending)
+                pending = None
+        if pending is not None:
+            self._resolve(pending)
 
     @property
     def mean_fill(self) -> float:
