@@ -54,12 +54,23 @@ def available(root: str) -> bool:
     )
 
 
-def synthetic_cifar10(n: int = 1024, seed: int = 0, proto_seed: int = 7
+def synthetic_cifar10(n: int = 1024, seed: int = 0, proto_seed: int = 7,
+                      alpha: float | None = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """Learnable 10-class surrogate at CIFAR shapes, normalized stats."""
+    """Learnable 10-class surrogate at CIFAR shapes, normalized stats.
+
+    alpha scales the class signal against unit-ish noise. The task is a
+    linear template problem, so its Bayes accuracy is DIALABLE: the
+    matched-filter optimum measures 31.9/62.3/96.6/~100% at alpha
+    0.02/0.04/0.08/1.0 (runlogs/r4 probe). Default (None -> 1.0) keeps the
+    legacy near-separable behavior existing fixtures rely on; alpha=0.08
+    ("synthetic_hard" in the study tools) leaves a real margin so PTQ/QAT
+    deltas at scale are informative instead of saturating at 100% top-1.
+    """
     protos = np.random.default_rng(proto_seed).normal(0, 1, (10, 32, 32, 3)).astype(np.float32)
     rng = np.random.default_rng(seed)
     y = rng.integers(0, 10, n).astype(np.int32)
-    X = protos[y] + rng.normal(0, 1.2, (n, 32, 32, 3)).astype(np.float32)
+    a = 1.0 if alpha is None else float(alpha)
+    X = a * protos[y] + rng.normal(0, 1.2, (n, 32, 32, 3)).astype(np.float32)
     X = (X - X.mean()) / (X.std() + 1e-8)
     return X.astype(np.float32), y

@@ -51,11 +51,15 @@ def augment_shifts(X, Y, shifts=((0, 0), (2, 0), (-2, 0), (0, 2), (0, -2))):
 
 
 def load_data(kind: str, n: int, augment: bool = True):
-    if kind == "synthetic":
+    if kind in ("synthetic", "synthetic_hard"):
         from dlq_tpu.data.cifar10 import synthetic_cifar10
 
-        X, Y = synthetic_cifar10(n, seed=0)
-        Xt, Yt = synthetic_cifar10(max(1024, n // 4), seed=1)
+        # synthetic_hard: margin-calibrated amplitude (matched-filter Bayes
+        # ~96.6%) — the plain surrogate saturates at 100% top-1 at 50k
+        # scale, making every PTQ delta vacuously 0 (runlogs/r4)
+        a = 0.08 if kind == "synthetic_hard" else None
+        X, Y = synthetic_cifar10(n, seed=0, alpha=a)
+        Xt, Yt = synthetic_cifar10(max(1024, n // 4), seed=1, alpha=a)
         return X, Y, Xt, Yt, 10
     if kind == "digits":
         from dlq_tpu.data.digits import load_real_digits
@@ -300,7 +304,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet18")
     ap.add_argument("--data", default="synthetic",
-                    choices=["synthetic", "digits"])
+                    choices=["synthetic", "synthetic_hard", "digits"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=128)
