@@ -250,6 +250,59 @@ def phase_deep(iters=8, batches=(128, 256), depths=(50, 101, 152)):
                   if chip in PEAKS and ops_img else None)
 
 
+def phase_u8(batch=384, iters=12):
+    """uint8-ingest fused stem vs fp32 ingest on the headline fused2 path:
+    the deploy engine takes raw decoded-JPEG uint8 NHWC (4x less input
+    bandwidth; normalize folded into the stem conv — exact rewrite, tested
+    in tests/test_real_image_e2e.py:87). Is the saved 173 MB/batch of
+    input traffic visible at b384?"""
+    if _SMOKE:
+        batch, iters = 8, 2
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu import numerics
+    from dlq_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+        qforward_fused2,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        FullFusedCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+    from dlq_tpu.timing import device_time_fn
+
+    rng = np.random.default_rng(0)
+    cfg = ResNetConfig(depth=18, num_classes=1000)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    u8 = rng.integers(0, 256, (batch, 224, 224, 3)).astype(np.uint8)
+    xn = ((u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+          ).astype(np.float32)
+    calib = [jnp.asarray(xn[:8])]
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, calib,
+                       INT8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+
+    def fwd(p, xb):
+        return qforward_fused2(FullFusedCtx(p, scales, INT8_PER_CHANNEL),
+                               xb, cfg)
+
+    lf = np.asarray(jax.jit(fwd)(qflat, jnp.asarray(xn[:32])))
+    lu = np.asarray(jax.jit(fwd)(qflat, jnp.asarray(u8[:32])))
+    d = numerics.diff(lu, lf)
+    _emit(phase="u8", check="u8_vs_f32_ingest", cosine=round(float(d.cosine), 6),
+          top1_agreement=numerics.top1_agreement(lu, lf))
+    for name, x in (("f32_ingest", jnp.asarray(xn)), ("u8_ingest", jnp.asarray(u8))):
+        r = device_time_fn(fwd, qflat, x, perturb_arg=1, n_small=2,
+                           n_big=2 + iters)
+        _emit(phase="u8", variant=name, batch=batch,
+              ms=round(r["ms_median"], 3),
+              img_s=round(batch / r["ms_median"] * 1e3, 1))
+
+
 def main():
     from dlq_tpu.platform import apply_platform_env
 
@@ -258,6 +311,7 @@ def main():
     t0 = time.time()
     for ph in phases:
         {"info": phase_info, "serving": phase_serving, "deep": phase_deep,
+         "u8": phase_u8,
          # relay wall-clock poisons TPU serving latency (1.8 s tunnel RTT
          # vs 3.4 ms device compute, runlogs/r4); the dispatcher-efficiency
          # number comes from a backend where wall time is sane
