@@ -32,3 +32,24 @@ def test_model_roofline_estimate():
     assert est["flops"] > 0
     assert est["bound"] in ("compute", "memory")
     assert est["roofline_ms"] > 0
+
+
+def test_synthetic_cifar_alpha_calibration():
+    """alpha dials the matched-filter Bayes accuracy: legacy (None) is
+    near-separable, alpha=0.08 leaves a real margin (~0.97), alpha=0.02
+    is hard (~0.32) — the synthetic_hard study mode depends on this."""
+    from dlq_tpu.data.cifar10 import synthetic_cifar10
+
+    protos = np.random.default_rng(7).normal(0, 1, (10, 32 * 32 * 3)).astype(np.float32)
+
+    def matched_filter_acc(alpha):
+        X, Y = synthetic_cifar10(4096, seed=3, alpha=alpha)
+        F = X.reshape(len(X), -1)
+        # scale-invariant matched filter (the data is re-standardized)
+        scores = F @ protos.T
+        return float((scores.argmax(1) == Y).mean())
+
+    assert matched_filter_acc(None) > 0.99
+    a_hard = matched_filter_acc(0.08)
+    assert 0.90 < a_hard < 0.995, a_hard
+    assert matched_filter_acc(0.02) < 0.6
