@@ -55,7 +55,7 @@ def available(root: str) -> bool:
 
 
 def synthetic_cifar10(n: int = 1024, seed: int = 0, proto_seed: int = 7,
-                      alpha: float | None = None
+                      alpha: float | None = None, patch: int | None = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Learnable 10-class surrogate at CIFAR shapes, normalized stats.
 
@@ -66,8 +66,20 @@ def synthetic_cifar10(n: int = 1024, seed: int = 0, proto_seed: int = 7,
     legacy near-separable behavior existing fixtures rely on; alpha=0.08
     ("synthetic_hard" in the study tools) leaves a real margin so PTQ/QAT
     deltas at scale are informative instead of saturating at 100% top-1.
+
+    patch=p makes the prototypes CONSTANT within pxp tiles — the signal a
+    patch-p ViT embedding can read directly (the dense per-pixel variant
+    is the wrong inductive bias for patch embedding: the DeiT-micro
+    plateaued at 35% there, runlogs/r4/trained_deit_hard.jsonl). Bayes at
+    patch=8: 0.688/0.935/~0.985/0.997 for alpha 0.05/0.08/0.10/0.12.
     """
-    protos = np.random.default_rng(proto_seed).normal(0, 1, (10, 32, 32, 3)).astype(np.float32)
+    g = np.random.default_rng(proto_seed)
+    if patch:
+        grid = 32 // patch
+        small = g.normal(0, 1, (10, grid, grid, 3)).astype(np.float32)
+        protos = np.repeat(np.repeat(small, patch, axis=1), patch, axis=2)
+    else:
+        protos = g.normal(0, 1, (10, 32, 32, 3)).astype(np.float32)
     rng = np.random.default_rng(seed)
     y = rng.integers(0, 10, n).astype(np.int32)
     a = 1.0 if alpha is None else float(alpha)

@@ -51,15 +51,19 @@ def augment_shifts(X, Y, shifts=((0, 0), (2, 0), (-2, 0), (0, 2), (0, -2))):
 
 
 def load_data(kind: str, n: int, augment: bool = True):
-    if kind in ("synthetic", "synthetic_hard"):
+    if kind in ("synthetic", "synthetic_hard", "synthetic_hard_vit"):
         from dlq_tpu.data.cifar10 import synthetic_cifar10
 
         # synthetic_hard: margin-calibrated amplitude (matched-filter Bayes
         # ~96.6%) — the plain surrogate saturates at 100% top-1 at 50k
-        # scale, making every PTQ delta vacuously 0 (runlogs/r4)
-        a = 0.08 if kind == "synthetic_hard" else None
-        X, Y = synthetic_cifar10(n, seed=0, alpha=a)
-        Xt, Yt = synthetic_cifar10(max(1024, n // 4), seed=1, alpha=a)
+        # scale, making every PTQ delta vacuously 0 (runlogs/r4).
+        # synthetic_hard_vit: same idea with patch-8-constant prototypes
+        # (Bayes ~98.5% at alpha 0.10) so a patch-8 ViT can learn it.
+        a = {"synthetic": None, "synthetic_hard": 0.08,
+             "synthetic_hard_vit": 0.10}[kind]
+        p = 8 if kind == "synthetic_hard_vit" else None
+        X, Y = synthetic_cifar10(n, seed=0, alpha=a, patch=p)
+        Xt, Yt = synthetic_cifar10(max(1024, n // 4), seed=1, alpha=a, patch=p)
         return X, Y, Xt, Yt, 10
     if kind == "digits":
         from dlq_tpu.data.digits import load_real_digits
@@ -304,7 +308,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet18")
     ap.add_argument("--data", default="synthetic",
-                    choices=["synthetic", "synthetic_hard", "digits"])
+                    choices=["synthetic", "synthetic_hard",
+                             "synthetic_hard_vit", "digits"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=128)
