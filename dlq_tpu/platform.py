@@ -13,8 +13,13 @@ import os
 
 def apply_platform_env() -> None:
     plat = os.environ.get("DLQ_PLATFORM")
-    if os.environ.get("DLQ_COMPILE_CACHE"):
-        enable_compile_cache(os.environ["DLQ_COMPILE_CACHE"])
+    # persistent compile cache is ON by default (round-4 probe: bench.py
+    # cold-start 303 -> 201 s wall on the warm cache; a 6-model sweep in
+    # 13 min). DLQ_COMPILE_CACHE=<dir> overrides the location; =0/off
+    # disables (e.g. when bisecting compiler behavior).
+    cache = os.environ.get("DLQ_COMPILE_CACHE", "~/.cache/dlq_xla")
+    if cache.lower() not in ("0", "off", "false", "no", ""):
+        enable_compile_cache(cache)
     if not plat:
         return
     import jax

@@ -69,7 +69,8 @@ def phase_info():
             pass
     _emit(phase="info", device=str(jax.devices()[0]),
           n_devices=len(jax.devices()),
-          compile_cache=os.environ.get("DLQ_COMPILE_CACHE", ""), **ver)
+          compile_cache=getattr(jax.config, "jax_compilation_cache_dir", "")
+          or "", **ver)
 
 
 def _build_int8_resnet18(batch, size=224, small_input=False):
