@@ -75,6 +75,10 @@ def synthetic_cifar10(n: int = 1024, seed: int = 0, proto_seed: int = 7,
     """
     g = np.random.default_rng(proto_seed)
     if patch:
+        if not (0 < patch <= 32 and 32 % patch == 0):
+            raise ValueError(
+                f"patch must divide 32 (got {patch}); prototypes are built "
+                "on a (32//patch)^2 grid")
         grid = 32 // patch
         small = g.normal(0, 1, (10, grid, grid, 3)).astype(np.float32)
         protos = np.repeat(np.repeat(small, patch, axis=1), patch, axis=2)

@@ -10,6 +10,11 @@ from __future__ import annotations
 
 import os
 
+# single default for BOTH entry points (apply_platform_env and a direct
+# enable_compile_cache call) — two defaults would fragment the persistent
+# cache across directories (ADVICE r3)
+DEFAULT_COMPILE_CACHE = "~/.cache/dlq_xla"
+
 
 def apply_platform_env() -> None:
     plat = os.environ.get("DLQ_PLATFORM")
@@ -17,7 +22,7 @@ def apply_platform_env() -> None:
     # cold-start 303 -> 201 s wall on the warm cache; a 6-model sweep in
     # 13 min). DLQ_COMPILE_CACHE=<dir> overrides the location; =0/off
     # disables (e.g. when bisecting compiler behavior).
-    cache = os.environ.get("DLQ_COMPILE_CACHE", "~/.cache/dlq_xla")
+    cache = os.environ.get("DLQ_COMPILE_CACHE", DEFAULT_COMPILE_CACHE)
     if cache.lower() not in ("0", "off", "false", "no", ""):
         enable_compile_cache(cache)
     if not plat:
@@ -30,7 +35,7 @@ def apply_platform_env() -> None:
     jax.config.update("jax_platforms", plat)
 
 
-def enable_compile_cache(path: str = "~/.cache/dlq_tpu_xla") -> bool:
+def enable_compile_cache(path: str = DEFAULT_COMPILE_CACHE) -> bool:
     """Persistent XLA compilation cache: executables cached on disk keyed by
     HLO, so a SECOND process jitting the same engine skips the multi-minute
     TPU compile (deployment cold-start + this environment's relay warmup).
@@ -40,7 +45,7 @@ def enable_compile_cache(path: str = "~/.cache/dlq_tpu_xla") -> bool:
     try:
         import jax
 
-        p = os.path.expanduser(path if isinstance(path, str) and path not in ("1", "true") else "~/.cache/dlq_tpu_xla")
+        p = os.path.expanduser(path if isinstance(path, str) and path not in ("1", "true") else DEFAULT_COMPILE_CACHE)
         os.makedirs(p, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", p)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

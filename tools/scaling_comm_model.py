@@ -52,10 +52,13 @@ DTYPE_BYTES = {"f32": 4, "f16": 2, "bf16": 2, "s32": 4, "u32": 4,
                "s8": 1, "u8": 1, "pred": 1, "s16": 2, "u16": 2, "f64": 8}
 
 # HLO: %all-gather.1 = s8[2,8,1024]{...} all-gather(...)
+# The optional suffix is CAPTURED so async pairs dedupe: an op that lowers
+# to -start/-done would otherwise be priced twice (ADVICE r3); we keep the
+# -start (whose result carries the payload shape) and drop the -done.
 _COLL_RE = re.compile(
     r"=\s+(?:\()?(\w+?)\[([\d,]*)\][^=]*?"
     r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
-    r"(?:-start|-done)?\(")
+    r"(-start|-done)?\(")
 
 
 def _emit(**kw):
@@ -71,9 +74,9 @@ def collective_bytes(hlo_text: str):
     Shapes in post-SPMD HLO are already per-device."""
     out = []
     for m in _COLL_RE.finditer(hlo_text):
-        dt, shape_s, op = m.group(1), m.group(2), m.group(3)
-        if dt not in DTYPE_BYTES:
-            continue
+        dt, shape_s, op, suffix = m.group(1), m.group(2), m.group(3), m.group(4)
+        if dt not in DTYPE_BYTES or suffix == "-done":
+            continue  # the matching -start already carried the shape
         shape = tuple(int(x) for x in shape_s.split(",") if x)
         nbytes = int(np.prod(shape)) * DTYPE_BYTES[dt] if shape else DTYPE_BYTES[dt]
         out.append({"op": op, "dtype": dt, "shape": shape, "bytes": nbytes})
@@ -81,10 +84,19 @@ def collective_bytes(hlo_text: str):
 
 
 def ring_cost_bytes(op: str, nbytes: int, n: int) -> float:
-    """Per-device bytes actually on the wire under the ring algorithms."""
+    """Per-device bytes actually on the wire under the ring algorithms.
+
+    nbytes is the RESULT-shape bytes from post-SPMD HLO. For all-reduce /
+    all-gather / all-to-all the result is the full logical tensor, so the
+    ring factors apply directly. reduce-scatter's result is the per-device
+    SHARD (1/n of the input): each device still wires (n-1) shard-sized
+    chunks, so the cost is (n-1) * result bytes — pricing it as
+    (n-1)/n * result bytes would undercount by ~n (ADVICE r3)."""
     if op == "all-reduce":
         return 2.0 * (n - 1) / n * nbytes
-    if op in ("all-gather", "reduce-scatter", "all-to-all"):
+    if op == "reduce-scatter":
+        return float((n - 1) * nbytes)
+    if op in ("all-gather", "all-to-all"):
         return (n - 1) / n * nbytes
     return float(nbytes)  # collective-permute
 
