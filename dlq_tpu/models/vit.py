@@ -113,6 +113,11 @@ def attention(q, k, v, heads: int, impl: str = "xla"):
     if impl == "fused":
         from dlq_tpu.ops.pallas_attention import attention_fused
         return attention_fused(q, k, v, heads)
+    if impl == "xla_int8":
+        # dynamically-quantized int8 QKᵀ / scores·V at the XLA level — the
+        # Mosaic-independent int8-attention path (ops/int8_attention)
+        from dlq_tpu.ops.int8_attention import attention_int8_dynamic
+        return attention_int8_dynamic(q, k, v, heads)
     B, N, D = q.shape
     hd = D // heads
 

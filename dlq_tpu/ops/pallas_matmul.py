@@ -114,9 +114,21 @@ def int8_matmul(
 
 def int8_matmul_padded(x, w, scale, bias=None, fuse_relu=False, tile_m=256, **kw):
     """int8_matmul with M padded up to a tile multiple (zero rows cost ~0
-    and slice off); K/N must already tile (weights are pre-padded offline)."""
+    and slice off); K/N must already tile (weights are pre-padded offline).
+
+    Tile selection consults the per-shape autotune cache first
+    (ops/tile_autotune, measured-once-per-device); explicit tm/tn/tk kwargs
+    and the tile_m pad granule override it."""
     M = x.shape[0]
     Mp = _cdiv(M, tile_m) * tile_m
+    if "tn" not in kw and "tk" not in kw:
+        from dlq_tpu.ops.tile_autotune import lookup
+
+        e = lookup("w8a8", Mp, x.shape[1], w.shape[1])
+        if e and e.get("ms") is not None:
+            tile_m = min(e["tm"], Mp)
+            kw = {"tn": e["tn"], "tk": e["tk"], **kw}
+            Mp = _cdiv(M, tile_m) * tile_m
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
     y = int8_matmul(x, w, scale, bias, fuse_relu=fuse_relu, tm=tile_m, **kw)
@@ -402,12 +414,26 @@ def int4_matmul_xla2(
 
 def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
                      fuse_relu=False, m_threshold: int = 1024, **kw):
-    """Route W4A16 GEMM by M (measured crossover, see int4_matmul_xla2):
-    two-pass XLA dequant below m_threshold (unpack-amortization-bound),
-    fused in-register-unpack kernel at or above it (HBM-traffic-bound)."""
-    if x.shape[0] < m_threshold:
+    """Route W4A16 GEMM by measurement: the per-shape autotune cache
+    (ops/tile_autotune.autotune_w4a16) records which impl — two-pass XLA
+    dequant, fused in-register unpack, or k-cached unpack — won at this
+    (M, K, N) on this device. Unmeasured shapes fall back to the hand-tuned
+    M crossover (two-pass below m_threshold: unpack-amortization-bound;
+    fused at or above: HBM-traffic-bound — see int4_matmul_xla2)."""
+    from dlq_tpu.ops.tile_autotune import lookup
+
+    M, K = x.shape
+    e = lookup("w4a16", M, K, w_packed.shape[1])
+    impl = e.get("impl") if (e and e.get("ms") is not None
+                             and e.get("group", group) == group) else None
+    if impl is None:
+        impl = "xla2" if M < m_threshold else "fused"
+    if impl == "xla2":
         return int4_matmul_xla2(x, w_packed, scales, bias, group=group,
                                 fuse_relu=fuse_relu)
+    if impl == "cached":
+        return int4_matmul_cached(x, w_packed, scales, bias, group=group,
+                                  fuse_relu=fuse_relu, **kw)
     return int4_matmul_padded(x, w_packed, scales, bias, group=group,
                               fuse_relu=fuse_relu, **kw)
 

@@ -894,6 +894,190 @@ def vit_forward_blockfused_w8(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                    preferred_element_type=jnp.float32) + packed["head"]["b"]
 
 
+# ---------------------------------------------------------------------------
+# split-attention W8A8 block: Pallas pre/post kernels + XLA attention between
+# them — the Mosaic-independent int8-attention A/B (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+def _block_pre_kernel_w8(y_ref, inv_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                         ln1_ref, o_ref, *, d_valid):
+    """First half of the W8A8 block: LN1 + int8 QKV projection. Emits the
+    bf16 qkv stream [bt, Np, 3*Dp] for an attention impl that runs OUTSIDE
+    the kernel (XLA int8/bf16 dot_general — no Mosaic)."""
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    xf = y_ref[:].reshape(rows, Dp).astype(jnp.float32)
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    h1 = _ln_f32(xf, ln1[0:1], ln1[1:2], d_valid)
+    acc = jax.lax.dot(_quant_i8(h1, inv_ref[0, 0]), wqkv_ref[:],
+                      preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * sqkv_ref[:] + bqkv_ref[:]).astype(jnp.bfloat16)
+    o_ref[:] = qkv.reshape(Bt, Np, 3 * Dp)
+
+
+def _block_post_kernel_w8(y_ref, a_ref, inv_ref,
+                          wproj_ref, sproj_ref, bproj_ref, ln2_ref,
+                          wfc1_ref, sfc1_ref, bfc1_ref,
+                          wfc2_ref, sfc2_ref, bfc2_ref,
+                          o_ref, *, d_valid, gelu_tanh):
+    """Second half: int8 proj on the attention output, residual, LN2, int8
+    MLP, residual. Identical math to the tail of _block_kernel_w8."""
+    Bt, Np, Dp = y_ref.shape
+    rows = Bt * Np
+    xf = y_ref[:].reshape(rows, Dp).astype(jnp.float32)
+    attn = a_ref[:].reshape(rows, Dp).astype(jnp.float32)
+    acc = jax.lax.dot(_quant_i8(attn, inv_ref[0, 1]), wproj_ref[:],
+                      preferred_element_type=jnp.int32)
+    a = acc.astype(jnp.float32) * sproj_ref[:] + bproj_ref[:]
+    z1 = xf + a
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    h2 = _ln_f32(z1, ln2[0:1], ln2[1:2], d_valid)
+    acc = jax.lax.dot(_quant_i8(h2, inv_ref[0, 2]), wfc1_ref[:],
+                      preferred_element_type=jnp.int32)
+    f = acc.astype(jnp.float32) * sfc1_ref[:] + bfc1_ref[:]
+    f = _gelu_f32(f, gelu_tanh)
+    acc = jax.lax.dot(_quant_i8(f, inv_ref[0, 3]), wfc2_ref[:],
+                      preferred_element_type=jnp.int32)
+    out = z1 + acc.astype(jnp.float32) * sfc2_ref[:] + bfc2_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype).reshape(Bt, Np, Dp)
+
+
+@functools.partial(jax.jit, static_argnames=("d_valid", "bt", "interpret"))
+def vit_block_pre_w8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                     d_valid: int, bt: int = 8,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_pre_kernel_w8, d_valid=d_valid),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full((Dp, 3 * Dp)), full((1, 3 * Dp)), full((1, 3 * Dp)),
+            full((2, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, 3 * Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, 3 * Dp), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Dp * 3 * Dp,
+            bytes_accessed=B * Np * Dp * 2 + 3 * Dp * Dp + B * Np * 3 * Dp * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y, w["inv_act"], w["wqkv"], w["sqkv"], w["bqkv"], w["ln1"])
+
+
+@functools.partial(jax.jit, static_argnames=("d_valid", "bt", "gelu_tanh",
+                                             "interpret"))
+def vit_block_post_w8(y: jnp.ndarray, attn: jnp.ndarray,
+                      w: Dict[str, jnp.ndarray], *,
+                      d_valid: int, bt: int = 8, gelu_tanh: bool = True,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Np, Dp = y.shape
+    while B % bt:
+        bt //= 2
+    H = w["wfc1"].shape[-1]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_post_kernel_w8, d_valid=d_valid,
+                          gelu_tanh=gelu_tanh),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full((Dp, Dp)), full((1, Dp)), full((1, Dp)),
+            full((2, Dp)),
+            full((Dp, H)), full((1, H)), full((1, H)),
+            full((H, Dp)), full((1, Dp)), full((1, Dp)),
+        ],
+        out_specs=pl.BlockSpec((bt, Np, Dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Dp), y.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Dp * (Dp + 2 * H),
+            bytes_accessed=3 * B * Np * Dp * 2 + Dp * Dp + 2 * Dp * H,
+            transcendentals=B * Np * H,
+        ),
+        interpret=interpret,
+    )(y, attn, w["inv_act"], w["wproj"], w["sproj"], w["bproj"], w["ln2"],
+      w["wfc1"], w["sfc1"], w["bfc1"], w["wfc2"], w["sfc2"], w["bfc2"])
+
+
+def vit_block_w8_splitattn(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
+                           n_valid: int, d_valid: int, heads: int, hd: int,
+                           bt: int = 8, gelu_tanh: bool = True,
+                           attn: str = "int8",
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """W8A8 block with attention OUTSIDE the Pallas kernels: pre-kernel
+    (LN1+QKV int8), XLA attention (attn='int8' dynamic-quantized dots on
+    the int8 MXU rate, 'bf16' = the control arm isolating the split cost),
+    post-kernel (proj+MLP int8). Three dispatches per block instead of one
+    — the A/B question is whether the int8 attention rate buys back more
+    than the extra qkv/attn HBM round-trips cost."""
+    from dlq_tpu.ops.int8_attention import (
+        attention_bf16_masked, attention_int8_dynamic,
+    )
+
+    B, Np, Dp = y.shape
+    qkv = vit_block_pre_w8(y, w, d_valid=d_valid, bt=bt, interpret=interpret)
+    hw = heads * hd
+    q = qkv[..., :hw]
+    k = qkv[..., Dp : Dp + hw]
+    v = qkv[..., 2 * Dp : 2 * Dp + hw]
+    fn = attention_int8_dynamic if attn == "int8" else attention_bf16_masked
+    a = fn(q, k, v, heads, n_valid=n_valid, out_dtype=jnp.bfloat16)
+    if hw < Dp:
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, Dp - hw)))
+    return vit_block_post_w8(y, a, w, d_valid=d_valid, bt=bt,
+                             gelu_tanh=gelu_tanh, interpret=interpret)
+
+
+def vit_forward_blockfused_w8_split(packed: Dict[str, Any], x: jnp.ndarray,
+                                    cfg, bt: int = 8, gelu_tanh: bool = True,
+                                    tight: bool = False,
+                                    conv_embed: bool = True,
+                                    attn: str = "int8",
+                                    interpret: bool | None = None
+                                    ) -> jnp.ndarray:
+    """W8A8 DeiT forward on the split-attention block (pack_vit_blocks_w8
+    payload — same packing as the fully-fused path)."""
+    from dlq_tpu.models.vit import layernorm
+
+    N, D = cfg.seq_len, cfg.dim
+    hd = D // cfg.heads
+    Np, Dp = vit_pads(cfg, tight)
+    B = x.shape[0]
+    y = embed_tokens(packed, x, cfg, conv_embed=conv_embed)
+    cls = jnp.broadcast_to(packed["cls"], (B, 1, D)).astype(jnp.bfloat16)
+    y = jnp.concatenate([cls, y], axis=1) + packed["pos"]
+    y = jnp.pad(y, ((0, 0), (0, Np - N), (0, Dp - D)))
+    for w in packed["blocks"]:
+        y = vit_block_w8_splitattn(y, w, n_valid=N, d_valid=D,
+                                   heads=cfg.heads, hd=hd, bt=bt,
+                                   gelu_tanh=gelu_tanh, attn=attn,
+                                   interpret=interpret)
+    hf = layernorm(y[:, 0, :D].astype(jnp.float32), packed["norm"])
+    return jnp.dot(hf, packed["head"]["w"],
+                   preferred_element_type=jnp.float32) + packed["head"]["b"]
+
+
 def vit_forward_blockfused(packed: Dict[str, Any], x: jnp.ndarray, cfg,
                            bt: int = 4, gelu_tanh: bool = True,
                            tight: bool = False, conv_embed: bool = True,

