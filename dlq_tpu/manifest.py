@@ -188,6 +188,12 @@ class Manifest:
     def load(root: str) -> "Manifest":
         with open(os.path.join(root, MANIFEST_NAME)) as f:
             doc = json.load(f)
+        ver = doc.get("version", 1)
+        if ver > MANIFEST_VERSION:
+            raise ValueError(
+                f"{root}: manifest version {ver} is newer than this build "
+                f"supports ({MANIFEST_VERSION}) — refusing to guess at its "
+                "schema; upgrade dlq_tpu or re-export the store")
         m = Manifest(root, model=doc.get("model", ""), meta=doc.get("meta", {}))
         for name, d in doc.get("tensors", {}).items():
             m.tensors[name] = TensorMeta.from_json(name, d)

@@ -79,6 +79,12 @@ def save_quantized(
 def load_quantized(root: str) -> Tuple[FlatParams, Dict[str, jnp.ndarray], QConfig, Dict[str, Any]]:
     """Read back (qflat, act_scales, qcfg, extras) ready for DeployCtx."""
     m = Manifest.load(root)
+    if "qconfig" not in m.meta:
+        raise ValueError(
+            f"{root}: manifest has no 'qconfig' meta block — this is a "
+            "plain weight export, not a quantized store (quant.store."
+            "save_quantized writes the qconfig; tools/quantize_model.py "
+            "produces one)")
     qc = m.meta["qconfig"]
     qcfg = QConfig(
         weights=QScheme(**qc["weights"]),

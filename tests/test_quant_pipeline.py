@@ -132,6 +132,58 @@ def test_store_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(before, after)
 
 
+def test_store_corruption_is_loud(setup, tmp_path):
+    """Error injection (VERDICT r3 #7): a damaged quantized store must fail
+    with a clear error at load/read time, never deploy garbage."""
+    import json
+    import os
+
+    cfg, params, flat, x, fp32 = setup
+    qcfg = INT8_PER_CHANNEL
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x], qcfg)
+    qflat = quantize_weights(flat, qcfg)
+
+    # (a) truncated weight .bin -> size-validation ValueError
+    root_a = str(tmp_path / "trunc")
+    save_quantized(root_a, "resnet18", qflat, scales, qcfg)
+    victim = os.path.join(root_a, "stem.w.bin")
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="expected"):
+        load_quantized(root_a)
+
+    # (b) future manifest version -> refuse, do not guess at the schema
+    root_b = str(tmp_path / "future")
+    save_quantized(root_b, "resnet18", qflat, scales, qcfg)
+    mpath = os.path.join(root_b, "manifest.json")
+    doc = json.load(open(mpath))
+    doc["version"] = 99
+    json.dump(doc, open(mpath, "w"))
+    with pytest.raises(ValueError, match="version 99"):
+        load_quantized(root_b)
+
+    # (c) plain weight export (no qconfig block) mistaken for a quantized
+    # store -> a directed message, not a KeyError
+    root_c = str(tmp_path / "plain")
+    from dlq_tpu.manifest import Manifest
+
+    m = Manifest(root_c, model="resnet18")
+    m.add("stem.w", np.zeros((8, 8), np.float32))
+    m.save()
+    with pytest.raises(ValueError, match="qconfig"):
+        load_quantized(root_c)
+
+    # (d) corrupted scheme field -> loud TypeError/ValueError from QScheme
+    root_d = str(tmp_path / "scheme")
+    save_quantized(root_d, "resnet18", qflat, scales, qcfg)
+    mpath = json.load(open(os.path.join(root_d, "manifest.json")))
+    mpath["meta"]["qconfig"]["weights"] = {"nonsense_field": 1}
+    json.dump(mpath, open(os.path.join(root_d, "manifest.json"), "w"))
+    with pytest.raises(TypeError):
+        load_quantized(root_d)
+
+
 def test_store_roundtrip_int4(setup, tmp_path):
     cfg, params, flat, x, fp32 = setup
     qcfg = INT4_WEIGHT_ONLY_G128
