@@ -22,7 +22,7 @@ framework's ViT deploy path; semantics match models/vit.vit_forward.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -786,14 +786,49 @@ def pack_vit_blocks(params: Dict[str, Any], cfg, tight: bool = False
     }
 
 
+def _check_smooth_foldable(smooth: Dict[str, Any]) -> Dict[str, Any]:
+    smooth = smooth or {}
+    bad = [k for k in smooth if not (k.endswith(".qkv") or k.endswith(".fc1"))]
+    if bad:
+        raise ValueError(
+            f"block-kernel pack can only fold smoothing vectors into LN "
+            f"affines (sites *.qkv / *.fc1); got vectors for {bad} — use "
+            "quant.recipe.VIT_LN_FOLDABLE as the smooth_site_filter, or "
+            "deploy sitewise with SmoothDeployCtx")
+    return smooth
+
+
+def _smooth_folded_ln(ln: Dict[str, Any], smooth: Dict[str, Any],
+                      i: int) -> Dict[str, Any]:
+    """LN affines with the site smoothing vectors folded in EXACTLY: the
+    qkv/fc1 inputs are LN outputs, so x/s == LN with (g/s, b/s). The
+    residual stream is untouched (LN outputs feed only their matmul)."""
+    out = {"ln1": ln["ln1"], "ln2": ln["ln2"]}
+    for key, site in (("ln1", f"l{i}.qkv"), ("ln2", f"l{i}.fc1")):
+        s = smooth.get(site)
+        if s is not None:
+            inv = 1.0 / jnp.asarray(s, jnp.float32)
+            out[key] = {"g": jnp.asarray(ln[key]["g"], jnp.float32) * inv,
+                        "b": jnp.asarray(ln[key]["b"], jnp.float32) * inv}
+    return out
+
+
 def pack_vit_blocks_w8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
-                       extras: Dict[str, Any], cfg, tight: bool = False
+                       extras: Dict[str, Any], cfg, tight: bool = False,
+                       smooth: Optional[Dict[str, Any]] = None
                        ) -> Dict[str, Any]:
     """Pack an INT8-quantized ViT (quant.model_quant layout: flatten_vit
     sites + vit_extras) for the W8A8 fused block kernel. Weights stay int8;
     per-channel weight scales fold with the calibrated static activation
-    scales into one fp32 row per matmul. tight: see pack_vit_blocks."""
+    scales into one fp32 row per matmul. tight: see pack_vit_blocks.
+
+    smooth: SmoothQuant vectors restricted to LN-foldable sites
+    (quant.recipe.VIT_LN_FOLDABLE) — folded into the LN affines here, so a
+    ptq_auto model deploys through the fused kernels with zero runtime
+    cost. qflat must already be quantized from the SMOOTHED weights."""
     from dlq_tpu.quant.quantize import dequantize
+
+    smooth = _check_smooth_foldable(smooth)
 
     D = cfg.dim
     hd = D // cfg.heads
@@ -831,7 +866,7 @@ def pack_vit_blocks_w8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
         wp8, sp, bp = site(f"l{i}.proj", D)
         wf18, sf1, bf1 = site(f"l{i}.fc1", H)
         wf28, sf2, bf2 = site(f"l{i}.fc2", D)
-        ln = extras["ln"][i]
+        ln = _smooth_folded_ln(extras["ln"][i], smooth, i)
         inv = jnp.asarray([[1.0 / float(act_scales[f"l{i}.{s}"])
                             for s in ("qkv", "proj", "fc1", "fc2")]], jnp.float32)
         blocks.append({
@@ -1563,13 +1598,17 @@ def vit_block_fused_w4a8(y: jnp.ndarray, w: Dict[str, jnp.ndarray], *,
 
 
 def pack_vit_blocks_w4a8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
-                         extras: Dict[str, Any], cfg, tight: bool = False
+                         extras: Dict[str, Any], cfg, tight: bool = False,
+                         smooth: Optional[Dict[str, Any]] = None
                          ) -> Dict[str, Any]:
     """Pack an INT4A8_PER_CHANNEL-quantized ViT for the W4A8 fused block
     kernel: int4 weights halves-packed on the padded grid, per-OC weight
     scales folded with the calibrated act scales (the W8 packer's contract
-    at half the weight bytes)."""
+    at half the weight bytes). smooth: LN-foldable SmoothQuant vectors
+    (see pack_vit_blocks_w8)."""
     from dlq_tpu.quant.quantize import dequantize, pack_int4_halves, unpack_int4
+
+    smooth = _check_smooth_foldable(smooth)
 
     D = cfg.dim
     Np, Dp = vit_pads(cfg, tight)
@@ -1605,7 +1644,7 @@ def pack_vit_blocks_w4a8(qflat: Dict[str, Any], act_scales: Dict[str, Any],
         g_p, s_p, b_p = site(f"l{i}.proj")
         g_f1, s_f1, b_f1 = site(f"l{i}.fc1")
         g_f2, s_f2, b_f2 = site(f"l{i}.fc2")
-        ln = extras["ln"][i]
+        ln = _smooth_folded_ln(extras["ln"][i], smooth, i)
         inv = jnp.asarray([[1.0 / float(act_scales[f"l{i}.{s}"])
                             for s in ("qkv", "proj", "fc1", "fc2")]], jnp.float32)
         blocks.append({

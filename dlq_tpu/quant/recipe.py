@@ -45,10 +45,15 @@ def ptq_auto(
     smooth: str = "auto",  # "auto" | "fixed" | "off"
     gptq: bool = True,
     bias_correct: bool = True,
+    smooth_site_filter=None,
 ) -> Tuple[FlatParams, Dict[str, Any], Dict[str, Any]]:
     """Returns (qflat, act_scales, smooth_vectors). Deploy with
     SmoothDeployCtx(qflat, act_scales, qcfg, smooth_vectors); an empty
-    smooth dict makes that identical to DeployCtx."""
+    smooth dict makes that identical to DeployCtx.
+
+    smooth_site_filter(name)->bool restricts which sites get smoothing
+    vectors — e.g. VIT_LN_FOLDABLE so the result deploys through the fused
+    ViT block kernels (smoothing folded into the LN gains at pack time)."""
     batches = list(batches)
     sm: Dict[str, Any] = {}
     if smooth != "off" and not qcfg.weight_only:
@@ -56,10 +61,13 @@ def ptq_auto(
             # global empirical search: real quantized forward per candidate
             # alpha on held-out calibration data (see search_smooth_alpha
             # for why per-site local scoring was measured wrong)
-            sm, _ = search_smooth_alpha(qforward, flat, cfg, batches, qcfg)
+            sm, _ = search_smooth_alpha(qforward, flat, cfg, batches, qcfg,
+                                        site_filter=smooth_site_filter)
         else:
             amax = collect_channel_amax(qforward, flat, cfg, batches)
             sm = compute_smooth(flat, amax)
+            if smooth_site_filter is not None:
+                sm = {k: v for k, v in sm.items() if smooth_site_filter(k)}
     flat_s = apply_smooth(flat, sm) if sm else flat
 
     col = None
@@ -79,3 +87,12 @@ def ptq_auto(
     if not qcfg.weight_only:
         scales = smooth_calibrate(qforward, flat_s, cfg, batches, qcfg, sm)
     return qflat, scales, sm
+
+
+def VIT_LN_FOLDABLE(site: str) -> bool:
+    """ViT sites whose smoothing vector folds EXACTLY into the preceding
+    LayerNorm's affine (g/s, b/s): qkv (after ln1) and fc1 (after ln2).
+    proj/fc2 inputs come straight from attention/GELU — no affine to fold —
+    so restricting smoothing here is what makes a ptq_auto model deployable
+    through the fused block kernels (pack_vit_blocks_*(smooth=sm))."""
+    return site.endswith(".qkv") or site.endswith(".fc1")

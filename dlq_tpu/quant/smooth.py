@@ -161,6 +161,7 @@ def search_smooth_alpha(
     batches,
     qcfg,
     alphas=(0.0, 0.25, 0.4, 0.5, 0.6, 0.75),
+    site_filter=None,
 ):
     """Global empirical alpha search — the honest one. Per-site analytic and
     per-site sample-scored selection were both built and MEASURED WRONG
@@ -175,7 +176,12 @@ def search_smooth_alpha(
 
     Cost: len(alphas) quantize+forward passes over the calibration set —
     offline tooling. Returns (smooth_vectors, best_alpha); smooth == {} when
-    alpha=0 wins."""
+    alpha=0 wins.
+
+    site_filter(name)->bool restricts smoothing to a subset of sites (the
+    filter applies INSIDE the search so candidates are scored exactly as
+    they will deploy) — e.g. the LN-foldable ViT sites for block-kernel
+    deployment (quant.recipe.VIT_LN_FOLDABLE)."""
     import jax.numpy as _jnp
 
     batches = [_jnp.asarray(b) for b in batches]
@@ -193,6 +199,8 @@ def search_smooth_alpha(
     best = (np.inf, {}, 0.0)
     for alpha in alphas:
         sm = compute_smooth(flat, amax, alpha=alpha) if alpha > 0 else {}
+        if sm and site_filter is not None:
+            sm = {k: v for k, v in sm.items() if site_filter(k)}
         flat_s = apply_smooth(flat, sm) if sm else flat
         scales = smooth_calibrate(qforward, flat_s, cfg, cal, qcfg, sm)
         qflat = quantize_weights(flat_s, qcfg)

@@ -139,6 +139,54 @@ def test_splitattn_int8_accuracy_gate(tiny):
     assert numerics.top1_agreement(out, ref) == 1.0
 
 
+def test_ptq_auto_blockfold_matches_sitewise(tiny):
+    """ptq_auto restricted to LN-foldable sites deploys through the fused
+    block kernels (smoothing folded into the LN affines at pack time) and
+    matches the sitewise SmoothDeployCtx reference on the same payload."""
+    from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w4a8, pack_vit_blocks_w8,
+        vit_forward_blockfused_w4a8c, vit_forward_blockfused_w8,
+    )
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL, INT8_PER_CHANNEL
+    from dlq_tpu.quant.recipe import VIT_LN_FOLDABLE, ptq_auto
+    from dlq_tpu.quant.smooth import SmoothDeployCtx, compute_smooth
+
+    cfg, params, x = tiny
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim)
+    calib = [x, jax.random.normal(jax.random.PRNGKey(9), x.shape, jnp.float32)]
+    for qcfg, pack, fwd in (
+        (INT8_PER_CHANNEL, pack_vit_blocks_w8,
+         lambda p, xb: vit_forward_blockfused_w8(p, xb, cfg, tight=True)),
+        (INT4A8_PER_CHANNEL, pack_vit_blocks_w4a8,
+         lambda p, xb: vit_forward_blockfused_w4a8c(p, xb, cfg, bt=4,
+                                                    tight=True)),
+    ):
+        qa, sa, sm = ptq_auto(qf, flat, cfg, calib, qcfg, smooth="fixed",
+                              smooth_site_filter=VIT_LN_FOLDABLE)
+        assert sm and all(VIT_LN_FOLDABLE(k) for k in sm), sm
+        ref = np.asarray(qf(SmoothDeployCtx(qa, sa, qcfg, sm), x, cfg))
+        packed = pack(qa, sa, ex, cfg, tight=True, smooth=sm)
+        out = np.asarray(fwd(packed, x))
+        d = numerics.diff(out, ref)
+        assert d.cosine > 0.999, (qcfg, d)
+        assert numerics.top1_agreement(out, ref) == 1.0
+    # non-foldable vectors must be refused at pack time, not silently lost
+    bad = {"l0.proj": np.ones((cfg.dim,), np.float32)}
+    with pytest.raises(ValueError, match="fold"):
+        pack_vit_blocks_w8(quantize_weights_for_test(flat), {}, ex, cfg,
+                           smooth=bad)
+
+
+def quantize_weights_for_test(flat):
+    from dlq_tpu.quant.model_quant import quantize_weights
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+    return quantize_weights(flat, INT8_PER_CHANNEL)
+
+
 def test_attn_xla_int8_impl_close_to_fp32():
     """Standalone check of ops/int8_attention vs the fp32 attention math on
     head-shaped tensors (per-sample-head scales, masked columns)."""
