@@ -334,13 +334,23 @@ def study_deit(args, logger):
         run(name,
             lambda xb, _p=pk4: vit_forward_blockfused_w4a8c(_p, xb, vcfg,
                                                             bt=2, tight=True))
-    # ptq_auto (smooth+gptq+bc): smoothing rescales activations per channel
-    # at runtime, which the fused block kernel has no site for — deployed
-    # sitewise (SmoothDeployCtx), same int4a8 arithmetic
+    # ptq_auto (smooth+gptq+bc) sitewise: full-site smoothing via the
+    # runtime per-channel divide (SmoothDeployCtx)
     qa, sa, sm = ptq_auto(vqf, vflat, vcfg, calib, INT4A8_PER_CHANNEL)
     run("ptq_auto_int4a8_sitewise",
         lambda xb: vqf(SmoothDeployCtx(qa, sa, INT4A8_PER_CHANNEL, sm),
                        xb, vcfg))
+    # ptq_auto restricted to LN-foldable sites, deployed through the W4A8
+    # fused block kernels with the smoothing folded into the LN affines —
+    # zero runtime cost, full kernel rate (recipe.VIT_LN_FOLDABLE)
+    from dlq_tpu.quant.recipe import VIT_LN_FOLDABLE
+
+    qab, sab, smb = ptq_auto(vqf, vflat, vcfg, calib, INT4A8_PER_CHANNEL,
+                             smooth_site_filter=VIT_LN_FOLDABLE)
+    pk_auto = pack_vit_blocks_w4a8(qab, sab, ex, vcfg, tight=True, smooth=smb)
+    run("ptq_auto_int4a8_blockfold",
+        lambda xb: vit_forward_blockfused_w4a8c(pk_auto, xb, vcfg, bt=2,
+                                                tight=True))
 
 
 def main():
