@@ -69,6 +69,7 @@ class InferenceServer:
         self._rid = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._next_engine: Optional[Engine] = None
         self._thread: Optional[threading.Thread] = None
         self.stats: Dict[str, Any] = collections.defaultdict(float)
         # per-request submit->result seconds, bounded ring (newest wins)
@@ -105,6 +106,20 @@ class InferenceServer:
         else:
             self.q.put(req)  # backpressure: block the caller
         return req
+
+    def swap_engine(self, engine: Engine) -> None:
+        """Hot weight/model swap with zero downtime: the dispatcher adopts
+        the new engine at the NEXT batch boundary; the in-flight batch
+        resolves on the old one. Deployment story the reference's
+        restart-per-run design could not express. The new engine must use
+        the same batch size (the dispatcher's packing invariant)."""
+        if engine.batch != self.engine.batch:
+            raise ValueError(
+                f"swap_engine: batch mismatch (server {self.engine.batch}, "
+                f"new engine {engine.batch})")
+        with self._lock:
+            self._next_engine = engine
+        self.stats["swaps"] += 1
 
     def infer(self, x: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """Submit one item ([...] without batch dim) and wait for its result."""
@@ -163,6 +178,10 @@ class InferenceServer:
                     self._resolve(pending)
                     pending = None
                 continue
+            with self._lock:
+                if self._next_engine is not None:
+                    self.engine = self._next_engine
+                    self._next_engine = None
             xs = np.stack([r.x for r in batch])
             t0 = time.perf_counter()
             # double-buffer: dispatch this batch (async), THEN resolve the

@@ -124,6 +124,35 @@ def test_engine_stats_pipelined_accounting():
     assert eng.stats.images_per_sec > 0
 
 
+def test_hot_engine_swap():
+    """swap_engine adopts new weights at the next batch boundary with the
+    server running — results after the swap match the NEW engine."""
+    cfg = MLPConfig()
+    pa = init_mlp(jax.random.PRNGKey(0), cfg)
+    pb = init_mlp(jax.random.PRNGKey(42), cfg)
+    eng_a = Engine.fp32(mlp_forward, pa, cfg, batch=4)
+    eng_b = Engine.fp32(mlp_forward, pb, cfg, batch=4)
+    srv = InferenceServer(eng_a, max_wait_ms=5.0).start()
+    try:
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1, (784,)).astype(np.float32)
+        out_a = srv.infer(x, timeout=30)
+        np.testing.assert_allclose(out_a, np.asarray(mlp_forward(pa, x[None], cfg))[0],
+                                   atol=1e-5)
+        srv.swap_engine(eng_b)
+        out_b = srv.infer(x, timeout=30)
+        np.testing.assert_allclose(out_b, np.asarray(mlp_forward(pb, x[None], cfg))[0],
+                                   atol=1e-5)
+        assert srv.stats["swaps"] == 1
+        # batch-size mismatch is refused up front
+        import pytest
+
+        with pytest.raises(ValueError, match="batch"):
+            srv.swap_engine(Engine.fp32(mlp_forward, pb, cfg, batch=8))
+    finally:
+        srv.stop()
+
+
 def test_infer_many_batches_not_lockstep():
     """infer_many enqueues everything up front, so a single caller's 16
     items pack into full batches instead of one serialized batch per item."""
