@@ -53,11 +53,17 @@ engine2 = Engine.from_store(store, batch=16)
 assert np.array_equal(np.asarray(engine2(x)), int8)
 print("cold-start from store: bit-exact")
 
-# 5. serve
+# 5. serve: continuous batcher with per-request latency stats and a
+#    zero-downtime weight swap at a batch boundary
 srv = InferenceServer(engine2, max_wait_ms=5.0).start()
 pred = srv.infer(x[0])
+srv.swap_engine(Engine.from_store(store, batch=16))  # e.g. a new release
+pred2 = srv.infer(x[0])
+lat = srv.latency_stats()
 srv.stop()
-print("served one request -> class", int(np.argmax(pred)))
+assert np.allclose(pred, pred2)
+print(f"served 2 requests (hot swap between) -> class {int(np.argmax(pred))},"
+      f" p50 {lat['p50_ms']:.1f} ms")
 
 # 6. the int4 toolbox: GPTQ rounding + W4A8 (half the weight bytes, int8
 #    conv rate) through the same deploy surface
