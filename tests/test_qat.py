@@ -151,3 +151,34 @@ def test_qat_deploy_parity_oddk_conv():
     fq = np.asarray(qf(QATCtx(flat, scales, qcfg), x, cfg))
     dep = np.asarray(qf(DeployCtx(qflat, scales, qcfg), x, cfg))
     assert numerics.diff(fq, dep).cosine > 0.999
+
+
+def test_qat_vit_runs_and_deploy_parity():
+    """QAT is model-agnostic (ctx-driven): it fine-tunes the ViT's quantized
+    sites (LN/cls/pos extras frozen — standard partial QAT) and the result
+    deploys bit-consistently through quantize_weights + DeployCtx."""
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+
+    cfg = ViTConfig(image_size=16, patch=8, dim=32, depth=1, heads=2,
+                    num_classes=4)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    flat = flatten_vit(params)
+    qf = make_qforward(vit_extras(params), cfg.depth, cfg.heads, cfg.patch,
+                       cfg.dim)
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (64, 16, 16, 3)).astype(np.float32)
+    Y = rng.integers(0, 4, 64).astype(np.int32)
+    qcfg = QConfig(weights=QScheme(4, True, -1), acts=QScheme(8, True, None))
+    fq, sq, hist = qat_train(qf, flat, cfg, qcfg, X, Y, epochs=2, batch=16,
+                             lr=0.005)
+    assert np.isfinite(hist["epochs"][-1]["loss"])
+    # deploy parity: QATCtx eval == integer deploy of the SAME fine-tuned
+    # weights (fake-quant sim and int path agree)
+    x = jnp.asarray(X[:8])
+    sim = np.asarray(qf(QATCtx(fq, sq, qcfg), x, cfg))
+    dep = np.asarray(qf(DeployCtx(quantize_weights(fq, qcfg), sq, qcfg),
+                        x, cfg))
+    d = numerics.diff(dep, sim)
+    assert d.cosine > 0.999, d

@@ -352,6 +352,37 @@ def study_deit(args, logger):
         lambda xb: vit_forward_blockfused_w4a8c(pk_auto, xb, vcfg, bt=2,
                                                 tight=True))
 
+    if args.qat:
+        # PTQ-vs-QAT on the TRAINED DeiT at 4 and 2 weight bits — the
+        # reference's roadmapped INT8/INT2 experiment, answered for the
+        # transformer family too. The LN/cls/pos extras stay frozen
+        # (standard partial QAT: only the quantized sites fine-tune);
+        # INT2 keeps patch/head at int8 (ternary patch embedding on raw
+        # pixels is the known-degenerate config, as with the conv stem).
+        from dlq_tpu.quant.qat import qat_train
+        from dlq_tpu.quant.qconfig import QConfig, QScheme
+
+        for bits in (4, 2):
+            ovr = ((("patch", QScheme(8, True, -1)),
+                    ("head", QScheme(8, True, -1))) if bits == 2 else ())
+            qcfg_b = QConfig(weights=QScheme(bits, True, -1),
+                             acts=QScheme(8, True, None),
+                             weight_overrides=ovr)
+            sc = calibrate(make_sites_fn(vqf, vcfg), vflat, calib, qcfg_b)
+            qp = quantize_weights(vflat, qcfg_b)
+            run(f"ptq_rtn_int{bits}a8",
+                lambda xb, _q=qp, _s=sc, _c=qcfg_b:
+                    vqf(DeployCtx(_q, _s, _c), xb, vcfg))
+            fq, sq, hist = qat_train(vqf, vflat, vcfg, qcfg_b, X, Y,
+                                     epochs=args.qat_epochs, batch=args.batch,
+                                     lr=args.qat_lr, act_scales=sc)
+            qq = quantize_weights(fq, qcfg_b)
+            run(f"qat_int{bits}a8",
+                lambda xb, _q=qq, _s=sq, _c=qcfg_b:
+                    vqf(DeployCtx(_q, _s, _c), xb, vcfg))
+            _emit(stage="qat", model="deit_micro", bits=bits,
+                  final_loss=round(hist["epochs"][-1]["loss"], 4))
+
 
 def main():
     from dlq_tpu.platform import apply_platform_env
