@@ -431,7 +431,9 @@ def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
     if impl == "xla2":
         return int4_matmul_xla2(x, w_packed, scales, bias, group=group,
                                 fuse_relu=fuse_relu)
-    if impl == "cached":
+    if impl.startswith("cached"):
+        if impl == "cached_tn512":
+            kw = {"tn": 512, **kw}
         return int4_matmul_cached(x, w_packed, scales, bias, group=group,
                                   fuse_relu=fuse_relu, **kw)
     return int4_matmul_padded(x, w_packed, scales, bias, group=group,

@@ -166,6 +166,11 @@ def autotune_w4a16(M: int, K: int, N: int, group: int = 128,
         "xla2": lambda xx, ww: int4_matmul_xla2(xx, ww, scales, group=group),
         "fused": lambda xx, ww: int4_matmul(xx, ww, scales, group=group),
         "cached": lambda xx, ww: int4_matmul_cached(xx, ww, scales, group=group),
+        # the K-spanning scratch at the default tn=1024 can exceed VMEM at
+        # large K (r5: compile failure at K=4096); tn=512 is the config the
+        # r3 VMEM bisect measured — try both
+        "cached_tn512": lambda xx, ww: int4_matmul_cached(
+            xx, ww, scales, group=group, tn=512),
     }
     rows = []
     for name, fn in impls.items():
@@ -196,6 +201,8 @@ def autotune_w4a8(M: int, K: int, N: int, iters: int = 8) -> Dict[str, Any]:
     impls = {
         "plain": lambda xx, ww: int4a8_matmul(xx, ww, scale),
         "cached": lambda xx, ww: int4a8_matmul_cached(xx, ww, scale),
+        "cached_tn512": lambda xx, ww: int4a8_matmul_cached(xx, ww, scale,
+                                                            tn=512),
     }
     rows = []
     for name, fn in impls.items():
