@@ -66,20 +66,27 @@ def int8_matmul(
     fuse_relu: bool = False,
     tm: int = 512,
     tn: int = 1024,
-    tk: int = 512,
+    tk: int = 2048,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused W8A8 GEMM with fp32 epilogue. Shapes must tile exactly
     (engines pad params/batches to MXU-friendly sizes).
 
-    Default tiles (512, 1024, 512) measured 89% of the v5e int8 roofline at
-    4096^3 (vs 85% for XLA's own int8 dot) — see bench/roofline.py."""
+    Tile defaults are the round-5 sweep's safe pick (tk=2048: +5% over the
+    old (512,1024,512) at 4096^3, falls back by halving when K doesn't
+    divide). The per-shape MEASURED winners — e.g. full-K (512,512,4096)
+    at 330.6 TOPS = 84% of the v5e int8 peak, +15% over the old default
+    same-run — live in the autotune cache/shipped table
+    (ops/tile_autotune, runlogs/r5/tiles4.jsonl) and are applied by
+    int8_matmul_padded automatically."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     M, K = x.shape
     K2, N = w.shape
     assert K == K2, (x.shape, w.shape)
     tm, tn, tk = min(tm, M), min(tn, N), min(tk, K)
+    while K % tk:
+        tk //= 2  # large-tk default degrades gracefully on odd K
     assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
     n_k = K // tk
     if bias is None:

@@ -88,13 +88,13 @@ def _divides(t: Tuple[int, int, int], M: int, K: int, N: int) -> bool:
     return M % tm == 0 and N % tn == 0 and K % tk == 0
 
 
-DEFAULT_INT8_TILES = (512, 1024, 512)  # 89% of v5e int8 roofline at 4096^3
+DEFAULT_INT8_TILES = (512, 1024, 2048)  # safe default; measured winners below
 INT8_CANDIDATES: List[Tuple[int, int, int]] = [
     DEFAULT_INT8_TILES,
-    (256, 1024, 512),
-    (512, 512, 512),
+    (512, 1024, 512),   # the pre-r5 default
+    (512, 512, 4096),   # full-K: 84% of int8 peak at 4096^3 (r5 sweep)
+    (256, 512, 4096),   # full-K small-M: +34% at M=256
     (1024, 512, 512),
-    (256, 512, 1024),
 ]
 
 
