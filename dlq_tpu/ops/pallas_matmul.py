@@ -201,9 +201,9 @@ def int4a8_matmul(
     scale: jnp.ndarray,  # [N] fp32 combined (act_scale * w_scale[oc])
     bias: Optional[jnp.ndarray] = None,
     fuse_relu: bool = False,
-    tm: int = 512,
-    tn: int = 1024,
-    tk: int = 2048,
+    tm: int = 1024,
+    tn: int = 512,
+    tk: int = 4096,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """W4A8 GEMM: int4-packed weights (per-OC scales) unpacked to int8
@@ -212,9 +212,11 @@ def int4a8_matmul(
     in-register unpack is the only overhead vs int8_matmul. Per-OC weight
     scales only (group-wise would force a per-group fp32 accumulator update,
     M*N*K/group VPU FMAs — that cost lives in int4_matmul's bf16 path
-    instead). Measured 200 TOPS at 4096^3 with the default tiles (51% of
-    int8 peak; the per-M-tile unpack is the gap) — 1.6x the W4A16 kernel,
-    ~72% of int8_matmul at half its weight bytes."""
+    instead). Round-5 sweep (runlogs/r5/tiles5.jsonl): large-tk tiles
+    (1024,512,4096) measure **215.8 TOPS at 4096^3** (55% of int8 peak;
+    the old (512,1024,2048) default read 201.1 same-run) — ~65% of the
+    full-K int8_matmul at half its weight bytes; non-dividing shapes
+    degrade tiles gracefully by halving."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     M, K = x.shape
@@ -223,6 +225,12 @@ def int4a8_matmul(
     assert x.dtype == jnp.int8, x.dtype
     tm, tn = min(tm, M), min(tn, N)
     tk = min(tk, K)
+    while M % tm:
+        tm //= 2
+    while N % tn:
+        tn //= 2
+    while K % tk:
+        tk //= 2
     assert M % tm == 0 and N % tn == 0 and K % tk == 0, (M, N, K, tm, tn, tk)
     n_k = K // tk
     if bias is None:
@@ -618,21 +626,21 @@ def int4_matmul(
     bias: Optional[jnp.ndarray] = None,
     group: int = 128,
     fuse_relu: bool = False,
-    tm: int = 1024,
+    tm: int = 512,
     tn: int = 512,
-    tk: int = 1024,
+    tk: int = 4096,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Weight-only int4 GEMM: weights live packed in HBM (4 bits/value +
     fp32 scale per 128-group), unpacked + dequantized in-register.
 
     The in-register unpack (widen/shift/sign-extend/scale on the VPU) runs
-    once per (M-tile, weight-tile), so large tm amortizes it: tm=256
-    measured 112 TFLOPS (57% of v5e bf16 peak) at 4096^3; tm=1024 + bf16
-    activations measure 126 TFLOPS (64%). tm=2048 fails the Mosaic compile
-    (VMEM); tools/bench_followup.py has the sweep. Activations are cast to
-    bf16 once outside the kernel (the MXU runs bf16 anyway; halves x
-    VMEM/DMA)."""
+    once per (M-tile, weight-tile). Round-5 sweep (runlogs/r5/tiles5.jsonl):
+    large-tk tiles (512,512,4096) measure **143.5 TFLOPS at 4096^3** (73%
+    of v5e bf16 peak; the old (1024,512,1024) default read 128.2 same-run).
+    Non-dividing shapes degrade tiles gracefully by halving (tk stays a
+    group multiple). Activations are cast to bf16 once outside the kernel
+    (the MXU runs bf16 anyway; halves x VMEM/DMA)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     M, K = x.shape
@@ -640,6 +648,12 @@ def int4_matmul(
     assert Kh * 2 == K, (x.shape, w_packed.shape)
     tm, tn = min(tm, M), min(tn, N)
     tk = min(tk, K)
+    while M % tm:
+        tm //= 2
+    while N % tn:
+        tn //= 2
+    while K % tk and tk > group:
+        tk //= 2
     if tk % group != 0:
         tk = group
     # the in-kernel scales slice reads tk/group sublanes; Mosaic needs >= 8
