@@ -441,18 +441,21 @@ def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
     e = lookup("w4a16", M, K, w_packed.shape[1])
     impl = e.get("impl") if (e and e.get("ms") is not None
                              and e.get("group", group) == group) else None
+    tiles = (e.get("tiles") or {}) if impl else {}
     if impl is None:
         impl = "xla2" if M < m_threshold else "fused"
     if impl == "xla2":
         return int4_matmul_xla2(x, w_packed, scales, bias, group=group,
                                 fuse_relu=fuse_relu)
     if impl.startswith("cached"):
-        if impl == "cached_tn512":
-            kw = {"tn": 512, **kw}
+        if impl == "cached_tn512":  # legacy entry format (pre tile-aware)
+            tiles = {"tn": 512, **tiles}
         return int4_matmul_cached(x, w_packed, scales, bias, group=group,
-                                  fuse_relu=fuse_relu, **kw)
+                                  fuse_relu=fuse_relu, **{**tiles, **kw})
+    if "tm" in tiles:  # the padded wrapper takes its M granule as tile_m
+        tiles = {**tiles, "tile_m": tiles.pop("tm")}
     return int4_matmul_padded(x, w_packed, scales, bias, group=group,
-                              fuse_relu=fuse_relu, **kw)
+                              fuse_relu=fuse_relu, **{**tiles, **kw})
 
 
 def _int4_mm_kernel(xe_ref, xo_ref, wp_ref, scale_ref, bias_ref, o_ref, acc_ref,

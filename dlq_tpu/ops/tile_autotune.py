@@ -162,25 +162,38 @@ def autotune_w4a16(M: int, K: int, N: int, group: int = 128,
     x = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.bfloat16)
     wp = jnp.asarray(rng.integers(0, 256, (K // 2, N)), jnp.uint8)
     scales = jnp.full((K // group, N), 1e-2, jnp.float32)
-    impls = {
-        "xla2": lambda xx, ww: int4_matmul_xla2(xx, ww, scales, group=group),
-        "fused": lambda xx, ww: int4_matmul(xx, ww, scales, group=group),
-        "cached": lambda xx, ww: int4_matmul_cached(xx, ww, scales, group=group),
-        # the K-spanning scratch at the default tn=1024 can exceed VMEM at
-        # large K (r5: compile failure at K=4096); tn=512 is the config the
-        # r3 VMEM bisect measured — try both
-        "cached_tn512": lambda xx, ww: int4_matmul_cached(
-            xx, ww, scales, group=group, tn=512),
-    }
+    # (impl, tiles): tiles=None means the kernel's defaults; explicit tile
+    # rows let the router pass the winning tiles through (r5: large-tk wins
+    # +12% at 4096^3, but some combos exceed VMEM — failures are recorded)
+    cands = [
+        ("xla2", None),
+        ("fused", None),
+        ("fused", {"tm": 512, "tn": 512, "tk": 2048}),
+        ("fused", {"tm": 1024, "tn": 512, "tk": 1024}),  # the pre-r5 default
+        ("cached", None),
+        ("cached", {"tn": 512}),
+    ]
+
+    def runner(impl, tiles):
+        kw = dict(tiles or {})
+        if impl == "xla2":
+            return lambda xx, ww: int4_matmul_xla2(xx, ww, scales, group=group)
+        if impl == "cached":
+            return lambda xx, ww: int4_matmul_cached(xx, ww, scales,
+                                                     group=group, **kw)
+        return lambda xx, ww: int4_matmul(xx, ww, scales, group=group, **kw)
+
     rows = []
-    for name, fn in impls.items():
+    for name, tiles in cands:
         try:
-            ms = _measure(fn, x, wp, iters=iters)
-            rows.append({"impl": name, "ms": round(ms, 4)})
+            ms = _measure(runner(name, tiles), x, wp, iters=iters)
+            rows.append({"impl": name, "tiles": tiles, "ms": round(ms, 4)})
         except Exception as e:
-            rows.append({"impl": name, "ms": None, "error": str(e)[:200]})
+            rows.append({"impl": name, "tiles": tiles, "ms": None,
+                         "error": str(e)[:200]})
     ok = [r for r in rows if r["ms"] is not None]
-    best = min(ok, key=lambda r: r["ms"]) if ok else {"impl": "xla2", "ms": None}
+    best = min(ok, key=lambda r: r["ms"]) if ok else {"impl": "xla2",
+                                                      "tiles": None, "ms": None}
     entry = {**best, "tried": rows, "group": group, "iters": iters}
     record("w4a16", M, K, N, entry)
     return entry

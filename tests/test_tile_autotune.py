@@ -76,3 +76,8 @@ def test_int4_auto_routes_on_cache(tmp_cache, monkeypatch):
     assert calls == []  # did NOT take the xla2 crossover branch
     ref = np.asarray(real(x, wp, scales, group=group))
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # tile-aware entry: winning tiles pass through, numerics unchanged
+    TA.record("w4a16", M, K, N, {"impl": "fused", "ms": 0.1, "group": group,
+                                 "tiles": {"tm": 64, "tn": 128, "tk": 256}})
+    out2 = np.asarray(PM.int4_matmul_auto(x, wp, scales, group=group))
+    np.testing.assert_allclose(out2, ref, rtol=2e-2, atol=2e-2)
