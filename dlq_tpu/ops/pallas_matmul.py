@@ -453,7 +453,8 @@ def int4_matmul_auto(x, w_packed, scales, bias=None, group=128,
         return int4_matmul_cached(x, w_packed, scales, bias, group=group,
                                   fuse_relu=fuse_relu, **{**tiles, **kw})
     if "tm" in tiles:  # the padded wrapper takes its M granule as tile_m
-        tiles = {**tiles, "tile_m": tiles.pop("tm")}
+        tiles = dict(tiles)
+        tiles["tile_m"] = tiles.pop("tm")
     return int4_matmul_padded(x, w_packed, scales, bias, group=group,
                               fuse_relu=fuse_relu, **{**tiles, **kw})
 
