@@ -98,11 +98,34 @@ INT8_CANDIDATES: List[Tuple[int, int, int]] = [
 ]
 
 
-def _measure(fn, *args, iters: int = 8) -> float:
+# chip peaks for the plausibility guard (v5e; other chips only loosen it)
+_PEAK_TOPS = {"w8a8": 394e12, "w4a8": 394e12, "w4a16": 197e12}
+
+
+def _measure(fn, *args, iters: int = 8, kind: str | None = None,
+             mnk: tuple | None = None) -> float:
+    """Chained-slope ms with a ROOFLINE PLAUSIBILITY guard: a relay stall
+    during the short-chain sample can deflate the slope into a 'winner'
+    faster than the hardware peak (seen once in r5: a bf16-family kernel
+    'measuring' 293 TF against a 197 TF peak, which then shipped in the
+    table). Any sample implying > peak re-measures; twice-implausible
+    raises so the caller records an error row instead of a corrupt one."""
     from dlq_tpu.timing import device_time_fn
 
-    r = device_time_fn(fn, *args, n_small=2, n_big=2 + iters, perturb_arg=0)
-    return float(r["ms_median"])
+    for attempt in range(2):
+        r = device_time_fn(fn, *args, n_small=2, n_big=2 + iters,
+                           perturb_arg=0)
+        ms = float(r["ms_median"])
+        if kind is None or mnk is None:
+            return ms
+        M, K, N = mnk
+        tops = 2.0 * M * N * K / (ms / 1e3)
+        if tops <= _PEAK_TOPS.get(kind, float("inf")):
+            return ms
+    raise RuntimeError(
+        f"implausible measurement: {ms:.4f} ms implies {tops/1e12:.1f} TOPS "
+        f"> {_PEAK_TOPS[kind]/1e12:.0f} peak for {kind} at {mnk} (relay "
+        "stall corrupted the slope) — candidate not recorded")
 
 
 def autotune_int8(M: int, K: int, N: int,
@@ -130,8 +153,8 @@ def autotune_int8(M: int, K: int, N: int,
             return int8_matmul(xx, ww, scale, None, tm=tm, tn=tn, tk=tk)
 
         try:
-            ms = _measure(run, x, w, iters=iters)
-        except Exception as e:  # Mosaic compile failure on this candidate
+            ms = _measure(run, x, w, iters=iters, kind="w8a8", mnk=(M, K, N))
+        except Exception as e:  # compile failure / implausible measurement
             rows.append({"tm": tm, "tn": tn, "tk": tk, "ms": None,
                          "error": str(e)[:200]})
             continue
@@ -186,7 +209,8 @@ def autotune_w4a16(M: int, K: int, N: int, group: int = 128,
     rows = []
     for name, tiles in cands:
         try:
-            ms = _measure(runner(name, tiles), x, wp, iters=iters)
+            ms = _measure(runner(name, tiles), x, wp, iters=iters,
+                          kind="w4a16", mnk=(M, K, N))
             rows.append({"impl": name, "tiles": tiles, "ms": round(ms, 4)})
         except Exception as e:
             rows.append({"impl": name, "tiles": tiles, "ms": None,
@@ -220,7 +244,7 @@ def autotune_w4a8(M: int, K: int, N: int, iters: int = 8) -> Dict[str, Any]:
     rows = []
     for name, fn in impls.items():
         try:
-            ms = _measure(fn, x, wp, iters=iters)
+            ms = _measure(fn, x, wp, iters=iters, kind="w4a8", mnk=(M, K, N))
             rows.append({"impl": name, "ms": round(ms, 4)})
         except Exception as e:
             rows.append({"impl": name, "ms": None, "error": str(e)[:200]})
