@@ -214,3 +214,46 @@ def test_int4_matmul_vs_qdense_oracle(data):
     y_oracle = x @ np.asarray(dequantize(qt))
     rel = np.abs(np.asarray(y_kernel, np.float64) - y_oracle).max() / np.abs(y_oracle).max()
     assert rel < 0.01
+
+
+def test_tile_halving_guards_odd_shapes():
+    """The round-5 large-tk defaults degrade gracefully when a dimension
+    does not divide the default tile (halving guards): exactness must hold
+    at shapes like K=1536/2560 and M=192 where the old asserts would have
+    fired with the new defaults."""
+    rng = np.random.default_rng(3)
+    for M, K, N in ((192, 1536, 256), (128, 2560, 128), (64, 384, 128)):
+        x8 = rng.integers(-127, 128, (M, K)).astype(np.int8)
+        w8 = rng.integers(-127, 128, (K, N)).astype(np.int8)
+        sc = (rng.random(N) * 0.01).astype(np.float32)
+        y = np.asarray(int8_matmul(jnp.asarray(x8), jnp.asarray(w8),
+                                   jnp.asarray(sc), interpret=True),
+                       np.float64)
+        ref = x8.astype(np.int64) @ w8.astype(np.int64) * sc
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-6, (M, K, N)
+
+        # W4A8: packed weights, same guard path
+        from dlq_tpu.ops.pallas_matmul import int4a8_matmul
+        from dlq_tpu.quant.quantize import pack_int4 as _p4
+
+        w4 = rng.integers(-8, 8, (K, N)).astype(np.int8)
+        packed = np.asarray(_p4(jnp.asarray(w4)))
+        y4 = np.asarray(int4a8_matmul(jnp.asarray(x8), jnp.asarray(packed),
+                                      jnp.asarray(sc), interpret=True),
+                        np.float64)
+        ref4 = x8.astype(np.int64) @ w4.astype(np.int64) * sc
+        assert np.abs(y4 - ref4).max() / np.abs(ref4).max() < 1e-6, (M, K, N)
+
+    # W4A16 group-wise with the tk guard honoring the group multiple
+    for M, K, N in ((128, 1536, 128), (64, 2560, 256)):
+        xb = rng.normal(0, 1, (M, K)).astype(np.float32)
+        w4 = rng.integers(-8, 8, (K, N)).astype(np.int8)
+        packed = np.asarray(pack_int4(jnp.asarray(w4)))
+        scales = (rng.random((K // 128, N)) * 0.02 + 0.01).astype(np.float32)
+        y = np.asarray(int4_matmul(jnp.asarray(xb), jnp.asarray(packed),
+                                   jnp.asarray(scales), group=128,
+                                   interpret=True), np.float64)
+        sh = np.repeat(scales, 128, axis=0)
+        ref = xb.astype(np.float64) @ (w4 * sh).astype(np.float64)
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, (M, K, N, rel)  # bf16 activation rounding
