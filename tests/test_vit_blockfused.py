@@ -187,6 +187,63 @@ def quantize_weights_for_test(flat):
     return quantize_weights(flat, INT8_PER_CHANNEL)
 
 
+def test_blockfold_smoothing_wins_on_outlier_channels():
+    """When activation outliers live at the LN-foldable sites (planted via
+    boosted ln1 gains -> huge qkv-input channels), the LN-folded smoothing
+    must beat the unsmoothed block deploy — the restricted-site fold is a
+    real accuracy lever, not just a zero-cost no-op."""
+    import dataclasses as _dc
+
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+        vit_forward,
+    )
+    from dlq_tpu.ops.pallas_vit_block import (
+        pack_vit_blocks_w8, vit_forward_blockfused_w8,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import make_sites_fn, quantize_weights
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+    from dlq_tpu.quant.recipe import VIT_LN_FOLDABLE, ptq_auto
+
+    cfg = ViTConfig(image_size=32, patch=8, dim=96, depth=2, heads=3,
+                    num_classes=10)
+    params = init_vit(jax.random.PRNGKey(11), cfg)
+    # plant outlier channels at the qkv/fc1 inputs: boost a few LN gains
+    for lp in params["layers"]:
+        for ln in ("ln1", "ln2"):
+            g = np.array(lp[ln]["g"], copy=True)
+            g[:8] *= 20.0
+            lp[ln]["g"] = jnp.asarray(g)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim)
+    rng = np.random.default_rng(11)
+    calib = [jnp.asarray(rng.normal(0, 1, (16, 32, 32, 3)), jnp.float32)]
+    x = jnp.asarray(rng.normal(0, 1, (8, 32, 32, 3)), jnp.float32)
+    fp32 = np.asarray(vit_forward(params, x, _dc.replace(cfg, gelu="tanh")))
+
+    # unsmoothed block deploy
+    sc = calibrate(make_sites_fn(qf, cfg), flat, calib, INT8_PER_CHANNEL)
+    pk0 = pack_vit_blocks_w8(quantize_weights(flat, INT8_PER_CHANNEL),
+                             sc, ex, cfg, tight=True)
+    e0 = numerics.diff(
+        np.asarray(vit_forward_blockfused_w8(pk0, x, cfg, tight=True)),
+        fp32).rel_l2
+
+    # LN-folded smoothing (fixed alpha so the win is deterministic),
+    # GPTQ/bc off to isolate the smoothing effect
+    qa, sa, sm = ptq_auto(qf, flat, cfg, calib, INT8_PER_CHANNEL,
+                          smooth="fixed", gptq=False, bias_correct=False,
+                          smooth_site_filter=VIT_LN_FOLDABLE)
+    assert sm, "fixed-alpha smoothing produced no vectors"
+    pk1 = pack_vit_blocks_w8(qa, sa, ex, cfg, tight=True, smooth=sm)
+    e1 = numerics.diff(
+        np.asarray(vit_forward_blockfused_w8(pk1, x, cfg, tight=True)),
+        fp32).rel_l2
+    assert e1 < e0 * 0.9, (e1, e0)
+
+
 def test_attn_xla_int8_impl_close_to_fp32():
     """Standalone check of ops/int8_attention vs the fp32 attention math on
     head-shaped tensors (per-sample-head scales, masked columns)."""
