@@ -140,6 +140,42 @@ class SmoothSimulateCtx(_SmoothMixin, SimulateCtx):
         self._set_smooth(smooth)
 
 
+def fold_smooth_into_ln_extras(extras: Dict[str, Any],
+                               smooth: Dict[str, np.ndarray]
+                               ) -> Dict[str, Any]:
+    """Fold LN-foldable smoothing vectors into the ViT extras' LayerNorm
+    affines: ln1 <- (g/s_qkv, b/s_qkv), ln2 <- (g/s_fc1, b/s_fc1).
+
+    Because (g/s)·t + b/s == ((g·t + b))/s exactly, a store written with
+    FOLDED extras + smoothed weights deploys the smoothed model through
+    EVERY path — sitewise DeployCtx and the fused block kernels alike —
+    with no SmoothDeployCtx and no smooth field in the artifact. This is
+    what makes `ptq_auto(smooth_site_filter=VIT_LN_FOLDABLE)` results
+    round-trippable through quant/store (vectors for non-foldable sites
+    are refused: those genuinely need the runtime divide)."""
+    bad = [k for k in smooth
+           if not (k.endswith(".qkv") or k.endswith(".fc1"))]
+    if bad:
+        raise ValueError(
+            f"only *.qkv / *.fc1 smoothing folds into LN affines; got "
+            f"vectors for {bad} — restrict the recipe with "
+            "smooth_site_filter=VIT_LN_FOLDABLE or deploy sitewise with "
+            "SmoothDeployCtx")
+    out = dict(extras)
+    lns = []
+    for i, ln in enumerate(extras["ln"]):
+        new = {"ln1": ln["ln1"], "ln2": ln["ln2"]}
+        for key, site in (("ln1", f"l{i}.qkv"), ("ln2", f"l{i}.fc1")):
+            s = smooth.get(site)
+            if s is not None:
+                inv = 1.0 / jnp.asarray(s, jnp.float32)
+                new[key] = {"g": jnp.asarray(ln[key]["g"], jnp.float32) * inv,
+                            "b": jnp.asarray(ln[key]["b"], jnp.float32) * inv}
+        lns.append(new)
+    out["ln"] = lns
+    return out
+
+
 def smooth_calibrate(qforward, flat_smoothed: FlatParams, cfg, batches,
                      qcfg, smooth: Dict[str, np.ndarray]):
     """calibrate() over the smoothed model: per-site per-tensor act scales

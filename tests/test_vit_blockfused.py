@@ -244,6 +244,63 @@ def test_blockfold_smoothing_wins_on_outlier_channels():
     assert e1 < e0 * 0.9, (e1, e0)
 
 
+def test_ptq_auto_blockfold_store_roundtrip():
+    """A ptq_auto model with LN-foldable smoothing round-trips through the
+    quantized store with FOLDED extras: the artifact is self-contained
+    (no smooth field, no SmoothDeployCtx) and deploys the smoothed model
+    through both the sitewise ctx and the fused block kernels."""
+    import tempfile
+
+    from dlq_tpu.engine import Engine
+    from dlq_tpu.models.vit import (
+        ViTConfig, flatten_vit, init_vit, make_qforward, vit_extras,
+    )
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+    from dlq_tpu.quant.recipe import VIT_LN_FOLDABLE, ptq_auto
+    from dlq_tpu.quant.smooth import SmoothDeployCtx, fold_smooth_into_ln_extras
+    from dlq_tpu.quant.store import save_quantized
+
+    cfg = ViTConfig(num_classes=10, image_size=64, patch=16, dim=192,
+                    depth=2, heads=3)
+    params = init_vit(jax.random.PRNGKey(6), cfg)
+    flat = flatten_vit(params)
+    ex = vit_extras(params)
+    qf = make_qforward(ex, cfg.depth, cfg.heads, cfg.patch, cfg.dim)
+    rng = np.random.default_rng(6)
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32),
+             jnp.asarray(rng.normal(0, 1, (8, 64, 64, 3)), jnp.float32)]
+    qa, sa, sm = ptq_auto(qf, flat, cfg, calib, INT4A8_PER_CHANNEL,
+                          smooth="fixed", smooth_site_filter=VIT_LN_FOLDABLE)
+    assert sm
+    x = np.asarray(rng.normal(0, 1, (4, 64, 64, 3)), np.float32)
+    ref = np.asarray(qf(SmoothDeployCtx(qa, sa, INT4A8_PER_CHANNEL, sm),
+                        jnp.asarray(x), cfg))
+    ex_folded = fold_smooth_into_ln_extras(ex, sm)
+    meta = {"config": {k: getattr(cfg, k) for k in
+                       ("num_classes", "image_size", "patch", "dim",
+                        "depth", "heads")}}
+    with tempfile.TemporaryDirectory() as td:
+        save_quantized(td + "/q", "deit_tiny", qa, sa, INT4A8_PER_CHANNEL,
+                       extras=ex_folded, meta=meta)
+        # sitewise: folded LN == runtime x/s divide in real arithmetic;
+        # the bf16 interchange rounds at a different point (bf16(g/s)·t
+        # vs (bf16(g)·t)/s), so the gate is the quantized-deploy envelope
+        eng_d = Engine.from_store(td + "/q", ctx="deploy", batch=4)
+        out_d = np.asarray(eng_d(x))
+        d = numerics.diff(out_d, ref)
+        assert d.cosine > 0.999, d
+        assert numerics.top1_agreement(out_d, ref) == 1.0
+        # block kernels: same smoothed model at full kernel rate
+        eng_b = Engine.from_store(td + "/q", ctx="block", batch=4)
+        out_b = np.asarray(eng_b(x))
+        db = numerics.diff(out_b, ref)
+        assert db.cosine > 0.999, db
+        assert numerics.top1_agreement(out_b, ref) == 1.0
+    # non-foldable vectors must be refused
+    with pytest.raises(ValueError, match="fold"):
+        fold_smooth_into_ln_extras(ex, {"l0.proj": np.ones(cfg.dim)})
+
+
 def test_attn_xla_int8_impl_close_to_fp32():
     """Standalone check of ops/int8_attention vs the fp32 attention math on
     head-shaped tensors (per-sample-head scales, masked columns)."""
