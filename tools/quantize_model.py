@@ -87,6 +87,14 @@ def main():
     ap.add_argument("--bias-correct", action="store_true",
                     help="absorb the quantization-induced output-mean shift "
                          "into biases (analytic, composes with --gptq)")
+    ap.add_argument("--auto", action="store_true",
+                    help="the composed ptq_auto recipe (SmoothQuant auto-"
+                         "alpha restricted to LN-foldable sites + GPTQ + "
+                         "bias correction); ViT-family manifests only — the "
+                         "smoothing folds into the stored LN affines so the "
+                         "artifact stays self-contained. Conv models: use "
+                         "--gptq --bias-correct (their smoothing needs the "
+                         "runtime SmoothDeployCtx divide)")
     args = ap.parse_args()
 
     import dataclasses
@@ -125,6 +133,31 @@ def main():
             shape = (args.batch, size, size, 3)
         batches = [jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
                    for _ in range(args.calib_batches)]
+
+    if args.auto:
+        if man.model != "deit_tiny":
+            raise SystemExit(
+                "--auto is ViT-family only (LN-foldable smoothing); for "
+                f"{man.model} use --gptq --bias-correct")
+        from dlq_tpu.models.vit import vit_extras
+        from dlq_tpu.quant.recipe import VIT_LN_FOLDABLE, ptq_auto
+        from dlq_tpu.quant.smooth import fold_smooth_into_ln_extras
+
+        qflat, act_scales, sm = ptq_auto(
+            qforward, flat, cfg, batches, qcfg,
+            smooth_site_filter=VIT_LN_FOLDABLE)
+        extras = fold_smooth_into_ln_extras(vit_extras(params), sm)
+        path = save_quantized(args.out, man.model, qflat, act_scales, qcfg,
+                              extras=extras,
+                              meta={"source_manifest": os.path.abspath(args.manifest),
+                                    "config": man.meta.get("config", {}),
+                                    "calib": args.calib or "synthetic",
+                                    "rounding": "ptq_auto",
+                                    "smooth_sites": sorted(sm)})
+        q_bytes = sum(p["qw"].nbytes for p in qflat.values())
+        print(f"[OK] {args.scheme} ptq_auto ({len(sm)} LN-folded smooth "
+              f"sites) -> {path}  weights {q_bytes/1e6:.1f} MB")
+        return
 
     act_scales = None
     if not qcfg.weight_only:
