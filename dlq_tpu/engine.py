@@ -255,6 +255,12 @@ class Engine:
 
             cfg = MLPConfig()
             qf = qf_mlp
+        elif model == "lenet5":
+            from dlq_tpu.models.lenet import LeNetConfig, qforward as qf_lenet
+
+            cfg = LeNetConfig(num_classes=mcfg.get("num_classes", 10),
+                              in_channels=mcfg.get("in_channels", 1))
+            qf = qf_lenet
         elif model == "deit_tiny":
             from dlq_tpu.models.vit import ViTConfig, make_qforward as make_vit_qf
             from dlq_tpu.quant.store import unflatten_extras

@@ -45,6 +45,17 @@ def attention_int8_dynamic(q, k, v, heads: int, n_valid: int | None = None,
     qf = _split_heads(q.astype(jnp.float32), heads, hd)
     kf = _split_heads(k.astype(jnp.float32), heads, hd)
     vf = _split_heads(v.astype(jnp.float32), heads, hd)
+    if n_valid is not None and n_valid != N:
+        # pad rows of a padded residual stream hold garbage after the first
+        # block; left in, they inflate the dynamic amax and waste int8
+        # resolution on the valid tokens (ADVICE r4 #3). Zero them: pad KEY
+        # rows are masked out of the softmax below anyway, and pad QUERY
+        # rows' outputs are discarded by the caller.
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, heads, N, hd), 2)
+        valid = row < n_valid
+        qf = jnp.where(valid, qf, 0.0)
+        kf = jnp.where(valid, kf, 0.0)
+        vf = jnp.where(valid, vf, 0.0)
 
     def dyn(a):
         amax = jnp.max(jnp.abs(a), axis=(2, 3), keepdims=True) + 1e-9

@@ -131,11 +131,21 @@ def int8_matmul_padded(x, w, scale, bias=None, fuse_relu=False, tile_m=256, **kw
     if "tn" not in kw and "tk" not in kw:
         from dlq_tpu.ops.tile_autotune import lookup
 
-        e = lookup("w8a8", Mp, x.shape[1], w.shape[1])
-        if e and e.get("ms") is not None:
-            tile_m = min(e["tm"], Mp)
-            kw = {"tn": e["tn"], "tk": e["tk"], **kw}
-            Mp = _cdiv(M, tile_m) * tile_m
+        # fixed point on the padded M: only apply an entry whose own tm
+        # reproduces the Mp it was looked up at — otherwise the tn/tk were
+        # measured at a different M than the one we'd run (ADVICE r4 #4)
+        Mp_try = Mp
+        for _ in range(3):
+            e = lookup("w8a8", Mp_try, x.shape[1], w.shape[1])
+            if not (e and e.get("ms") is not None):
+                break
+            tm_e = min(e["tm"], Mp_try)
+            Mp_e = _cdiv(M, tm_e) * tm_e
+            if Mp_e == Mp_try:
+                tile_m, Mp = tm_e, Mp_e
+                kw = {"tn": e["tn"], "tk": e["tk"], **kw}
+                break
+            Mp_try = Mp_e
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
     y = int8_matmul(x, w, scale, bias, fuse_relu=fuse_relu, tm=tile_m, **kw)

@@ -21,6 +21,7 @@ Reference tie: the reference hand-tuned TILE=32 once for every GEMM shape
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any, Dict, List, Optional, Tuple
@@ -50,12 +51,24 @@ def _key(kind: str, M: int, K: int, N: int, dev: str) -> str:
     return f"{kind}:{M}x{K}x{N}:{dev}"
 
 
-def _load(path: str) -> Dict[str, Any]:
+@functools.lru_cache(maxsize=64)
+def _load_at(path: str, mtime: float) -> Dict[str, Any]:
     try:
         with open(path) as f:
             return json.load(f)
     except Exception:
         return {}
+
+
+def _load(path: str) -> Dict[str, Any]:
+    """Parsed table, memoized on (path, mtime) — lookup() runs per matmul
+    call in eager/interpret paths, and re-reading the 392-line shipped table
+    each time was measurable (ADVICE r4 #4). Treat the result as read-only."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return {}
+    return _load_at(path, mtime)
 
 
 def lookup(kind: str, M: int, K: int, N: int) -> Optional[Dict[str, Any]]:
@@ -74,7 +87,7 @@ def record(kind: str, M: int, K: int, N: int, entry: Dict[str, Any]) -> str:
     """Persist a measured winner into the local cache (merge-on-write)."""
     path = cache_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    data = _load(path)
+    data = dict(_load(path))  # copy: _load's result is memoized/shared
     data[_key(kind, M, K, N, _device_kind())] = entry
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -100,6 +113,19 @@ INT8_CANDIDATES: List[Tuple[int, int, int]] = [
 
 # chip peaks for the plausibility guard (v5e; other chips only loosen it)
 _PEAK_TOPS = {"w8a8": 394e12, "w4a8": 394e12, "w4a16": 197e12}
+
+
+def _error_reason(e: Exception) -> str:
+    """Short machine-readable reason for a failed candidate. The persisted
+    table is package data — raw backend error text (relay URLs, ANSI escapes)
+    does not belong in it (ADVICE r4 #5); full text goes to runlogs only."""
+    s = str(e)
+    if "implausible measurement" in s:
+        return "implausible_measurement"
+    if any(m in s for m in ("remote_compile", "tpu_compile_helper", "Mosaic",
+                            "RESOURCE_EXHAUSTED", "vmem", "VMEM", "INTERNAL")):
+        return "compile_failed"
+    return s.splitlines()[0][:80]
 
 
 def _measure(fn, *args, iters: int = 8, kind: str | None = None,
@@ -156,7 +182,7 @@ def autotune_int8(M: int, K: int, N: int,
             ms = _measure(run, x, w, iters=iters, kind="w8a8", mnk=(M, K, N))
         except Exception as e:  # compile failure / implausible measurement
             rows.append({"tm": tm, "tn": tn, "tk": tk, "ms": None,
-                         "error": str(e)[:200]})
+                         "error": _error_reason(e)})
             continue
         rows.append({"tm": tm, "tn": tn, "tk": tk, "ms": round(ms, 4)})
     ok = [r for r in rows if r["ms"] is not None]
@@ -214,7 +240,7 @@ def autotune_w4a16(M: int, K: int, N: int, group: int = 128,
             rows.append({"impl": name, "tiles": tiles, "ms": round(ms, 4)})
         except Exception as e:
             rows.append({"impl": name, "tiles": tiles, "ms": None,
-                         "error": str(e)[:200]})
+                         "error": _error_reason(e)})
     ok = [r for r in rows if r["ms"] is not None]
     best = min(ok, key=lambda r: r["ms"]) if ok else {"impl": "xla2",
                                                       "tiles": None, "ms": None}
@@ -247,7 +273,7 @@ def autotune_w4a8(M: int, K: int, N: int, iters: int = 8) -> Dict[str, Any]:
             ms = _measure(fn, x, wp, iters=iters, kind="w4a8", mnk=(M, K, N))
             rows.append({"impl": name, "ms": round(ms, 4)})
         except Exception as e:
-            rows.append({"impl": name, "ms": None, "error": str(e)[:200]})
+            rows.append({"impl": name, "ms": None, "error": _error_reason(e)})
     ok = [r for r in rows if r["ms"] is not None]
     best = min(ok, key=lambda r: r["ms"]) if ok else {"impl": "plain", "ms": None}
     entry = {**best, "tried": rows, "iters": iters}

@@ -94,13 +94,18 @@ class InferenceServer:
             req = _Request(self._rid, np.asarray(x), threading.Event(),
                            t_submit=time.perf_counter())
         depth = self.q.qsize()
-        if depth > self.stats["qdepth_max"]:
-            self.stats["qdepth_max"] = float(depth)
+        # stats is shared with the dispatcher thread: every read-modify-write
+        # happens under self._lock so qdepth_max/rejected updates cannot be
+        # lost to a race (ADVICE r4 #1)
+        with self._lock:
+            if depth > self.stats["qdepth_max"]:
+                self.stats["qdepth_max"] = float(depth)
         if self.overload == "reject":
             try:
                 self.q.put_nowait(req)
             except queue.Full:
-                self.stats["rejected"] += 1
+                with self._lock:
+                    self.stats["rejected"] += 1
                 raise ServerOverloaded(
                     f"queue full ({self.max_queue}); request {req.rid} rejected")
         else:
@@ -119,7 +124,7 @@ class InferenceServer:
                 f"new engine {engine.batch})")
         with self._lock:
             self._next_engine = engine
-        self.stats["swaps"] += 1
+            self.stats["swaps"] += 1
 
     def infer(self, x: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """Submit one item ([...] without batch dim) and wait for its result."""
@@ -147,11 +152,14 @@ class InferenceServer:
         out_dev, batch = pending
         t0 = time.perf_counter()
         out = np.asarray(out_dev)  # sync point
-        self.stats["resolve_s"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
         t_done = time.perf_counter()
+        lats = [t_done - r.t_submit for r in batch]
+        with self._lock:
+            self.stats["resolve_s"] += dt
+            self._latencies.extend(lats)
         for i, r in enumerate(batch):
             r.result = out[i]
-            self._latencies.append(t_done - r.t_submit)
             r.done.set()
 
     def _loop(self) -> None:
@@ -187,13 +195,15 @@ class InferenceServer:
             # double-buffer: dispatch this batch (async), THEN resolve the
             # previous one — device compute overlaps result distribution
             out_dev = self.engine.dispatch(xs)
-            self.stats["dispatch_s"] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.stats["dispatch_s"] += dt
+                self.stats["batches"] += 1
+                self.stats["items"] += len(batch)
+                self.stats["fill"] += len(batch) / B
             if pending is not None:
                 self._resolve(pending)
             pending = (out_dev, batch)
-            self.stats["batches"] += 1
-            self.stats["items"] += len(batch)
-            self.stats["fill"] += len(batch) / B
             if self.q.empty():
                 self._resolve(pending)
                 pending = None
@@ -209,9 +219,10 @@ class InferenceServer:
     def latency_stats(self) -> Dict[str, float]:
         """Per-request submit->result latency percentiles (seconds, CPU
         clock). Empty dict until the first request resolves."""
-        if not self._latencies:
-            return {}
-        lat = np.asarray(self._latencies)
+        with self._lock:  # snapshot: the dispatcher appends concurrently
+            if not self._latencies:
+                return {}
+            lat = np.asarray(self._latencies)
         return {
             "count": float(lat.size),
             "p50_ms": float(np.percentile(lat, 50) * 1e3),

@@ -58,6 +58,10 @@ def get_model_bundle(man):
         from dlq_tpu.models.mlp import flatten_params, qforward
 
         return cfg, params, flatten_params(params), qforward
+    if man.model == "lenet5":
+        from dlq_tpu.models.lenet import flatten_params, qforward
+
+        return cfg, params, flatten_params(params), qforward
     if man.model == "deit_tiny":
         from dlq_tpu.models.vit import flatten_vit, make_qforward, vit_extras
 
@@ -115,7 +119,10 @@ def main():
     )
 
     batches = []
-    need_batches = (not qcfg.weight_only) or args.gptq or args.bias_correct
+    # --auto composes smoothing + GPTQ + bias-correct, all of which need
+    # calibration activations even on a weight-only scheme (ADVICE r4 #2:
+    # without this, --auto int4_wo silently degraded to plain RTN)
+    need_batches = (not qcfg.weight_only) or args.gptq or args.bias_correct or args.auto
     if not need_batches:
         pass
     elif args.calib:
@@ -128,6 +135,8 @@ def main():
         rng = np.random.default_rng(0)
         if man.model == "mlp":
             shape = (args.batch, cfg.in_dim)
+        elif man.model == "lenet5":
+            shape = (args.batch, 28, 28, cfg.in_channels)
         else:
             size = 32 if getattr(cfg, "small_input", False) else getattr(cfg, "image_size", 224)
             shape = (args.batch, size, size, 3)
