@@ -140,6 +140,58 @@ def mobilenetv2_forward(params: Params, x: jnp.ndarray, cfg: MobileNetV2Config, 
     return logits
 
 
+def mobilenetv2_forward_train(params: Params, x: jnp.ndarray,
+                              cfg: MobileNetV2Config):
+    """Training-mode forward: BN uses BATCH statistics (models/common.py
+    batchnorm_train — same fix as resnet_forward_train: training through
+    inference BN at init stats collapses an 18+-layer net). Returns
+    (logits, bn_stats) where bn_stats maps each conv-bn site to its
+    (batch_mean, batch_var); feed to apply_bn_updates after the step."""
+    from dlq_tpu.models.common import batchnorm_train
+
+    stats: Dict[str, Any] = {}
+
+    def cba(y, p, key, stride=1, padding=0, groups=1, act=True):
+        y = conv2d(y, p["w"], stride=stride, padding=padding, groups=groups)
+        y, s = batchnorm_train(y, p["bn"])
+        stats[key] = s
+        return relu6(y) if act else y
+
+    y = cba(x, params["stem"], "stem",
+            stride=1 if cfg.small_input else 2, padding=1)
+    for i, (bp, m) in enumerate(zip(params["blocks"], block_meta(cfg))):
+        inp = y
+        if "expand" in bp:
+            y = cba(y, bp["expand"], f"block{i}.expand")
+        y = cba(y, bp["dw"], f"block{i}.dw", stride=m["stride"], padding=1,
+                groups=m["hidden"])
+        y = cba(y, bp["project"], f"block{i}.project", act=False)
+        if m["has_res"]:
+            y = y + inp
+    y = cba(y, params["head"], "head")
+    g = global_avgpool(y)
+    logits = dense(g, params["fc"]["w"], params["fc"]["b"])
+    return logits, stats
+
+
+def apply_bn_updates(params: Params, stats: Dict[str, Any], n: int,
+                     momentum: float = 0.1) -> Params:
+    """EMA running-stat update for every BN site touched by
+    mobilenetv2_forward_train (mirrors resnet.apply_bn_updates)."""
+    from dlq_tpu.models.common import update_bn_stats
+
+    def holder(path: str) -> Params:
+        if path in ("stem", "head"):
+            return params[path]
+        blk, leaf = path.split(".")
+        return params["blocks"][int(blk[5:])][leaf]
+
+    for path, s in stats.items():
+        h = holder(path)
+        h["bn"] = update_bn_stats(h["bn"], s, momentum, n)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # folded / quantized path
 # ---------------------------------------------------------------------------

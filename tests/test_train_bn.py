@@ -125,3 +125,52 @@ def test_engine_wire_dynamic_raises():
         Engine.quantized(qforward, flat, cfg, INT8_PER_CHANNEL,
                          calib_batches=[jnp.zeros((2, 32))], simulate=True,
                          wire="bf16")
+
+
+def test_mobilenetv2_bn_training_learns():
+    """MNv2 training-mode forward (batch-stat BN) + EMA updates: a few SGD
+    steps on a separable toy problem reduce loss, the stats dict covers
+    every BN site, and apply_bn_updates moves the running stats (VERDICT r4
+    #1 prerequisite — the MNv2 trained-accuracy study trains through this)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlq_tpu.models.mobilenetv2 import (
+        MobileNetV2Config, apply_bn_updates, block_meta, init_mobilenetv2,
+        mobilenetv2_forward_train,
+    )
+
+    cfg = MobileNetV2Config(num_classes=4, small_input=True, width_mult=0.5)
+    params = init_mobilenetv2(jax.random.PRNGKey(0), cfg)
+    meta = block_meta(cfg)
+    n_bn = 1 + 1 + sum(2 + (1 if m["expand"] else 0) for m in meta)
+
+    rng = np.random.default_rng(0)
+    Y = rng.integers(0, 4, 32)
+    X = rng.normal(0, 0.1, (32, 32, 32, 3)).astype(np.float32)
+    X[np.arange(32), 2, 2, 0] += (Y + 1).astype(np.float32)  # separable mark
+
+    def loss_fn(p, xb, yb):
+        logits, stats = mobilenetv2_forward_train(p, xb, cfg)
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(lp[jnp.arange(len(yb)), yb]), stats
+
+    grad = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    xb, yb = jnp.asarray(X), jnp.asarray(Y)
+    (l0, stats), g = grad(params, xb, yb)
+    assert len(stats) == n_bn, (len(stats), n_bn)
+    mean_before = np.asarray(params["stem"]["bn"]["mean"]).copy()
+    params = apply_bn_updates(params, stats, n=32)
+    assert not np.allclose(np.asarray(params["stem"]["bn"]["mean"]),
+                           mean_before)
+    losses = [float(l0)]
+    for _ in range(8):
+        (l, stats), g = grad(params, xb, yb)
+        params = jax.tree_util.tree_map(lambda p, gg: p - 0.05 * gg, params, g)
+        params = apply_bn_updates(params, stats, n=32)
+        losses.append(float(l))
+    # MNv2 at 8 SGD steps moves slowly; a monotone-significant decrease is
+    # the signal (the full training convergence gate lives in the study's
+    # fp32 >= 0.85 hard gate, not here)
+    assert losses[-1] < losses[0] - 0.05, losses

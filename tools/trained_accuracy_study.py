@@ -93,14 +93,15 @@ def batched_logits(fwd, payload, X, batch=256):
     return np.concatenate(outs)
 
 
-def study_resnet(args, logger):
-    import jax
-    import jax.numpy as jnp
+def conv_ptq_table(args, logger, mname, qforward, cfg, flat, X, Y, Xt, Yt,
+                   lf, calib):
+    """The conv-family PTQ method gradient on TRAINED weights: rtn int8
+    pc/pt, rtn int4a8, weight-only per-OC int4, GPTQ (+bias correction),
+    ptq_auto int8/int4a8 — plus the optional PTQ-vs-QAT rescue at 4 and 2
+    weight bits. Shared by the resnet and mobilenetv2 studies so both
+    BASELINE conv families get the SAME method coverage (VERDICT r4 #1)."""
+    import numpy as np
 
-    from dlq_tpu.models.resnet import (
-        ResNetConfig, apply_bn_updates, flatten_folded, fold_resnet,
-        init_resnet, qforward, resnet_forward, resnet_forward_train,
-    )
     from dlq_tpu.quant.calibrate import calibrate
     from dlq_tpu.quant.error_report import labeled_accuracy_delta
     from dlq_tpu.quant.gptq import (
@@ -115,39 +116,8 @@ def study_resnet(args, logger):
     )
     from dlq_tpu.quant.recipe import ptq_auto
     from dlq_tpu.quant.smooth import SmoothDeployCtx
-    from dlq_tpu.train.generic import evaluate, train
 
-    X, Y, Xt, Yt, classes = load_data(args.data, args.n)
-    cfg = ResNetConfig(depth=18, num_classes=classes, small_input=True)
-    params = init_resnet(jax.random.PRNGKey(0), cfg)
-
-    def fwd(p, xb):
-        return resnet_forward(p, xb, cfg)
-
-    # train with BATCH-stat BN + cosine schedule (the round-2 study trained
-    # through inference BN at init stats and collapsed to 7% top-1 —
-    # VERDICT r2 weak #1); deploy/eval uses the learned running stats
-    params, rep = train(fwd, params, X, Y, epochs=args.epochs,
-                        batch=args.batch, lr=args.lr, log_every=0,
-                        schedule="cosine",
-                        forward_train=lambda p, xb: resnet_forward_train(p, xb, cfg),
-                        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
-    acc = evaluate(fwd, params, Xt, Yt)
-    _emit(stage="train", model="resnet18s", data=args.data,
-          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
-    if acc < args.min_acc:
-        # HARD GATE: a Δtop-1 between two untrained networks is not
-        # evidence — refuse to log any PTQ rows (VERDICT r2 next #1/#8)
-        _emit(stage="train", error=(
-            f"fp32 test acc {acc:.3f} < gate {args.min_acc} — model did not "
-            "train; no PTQ deltas will be logged"), fatal=True)
-        raise SystemExit(3)
-
-    flat = flatten_folded(fold_resnet(params, cfg))
-    calib = [jnp.asarray(X[i:i + 64]) for i in range(0, 256, 64)]
-    lf = batched_logits(lambda p, xb: resnet_forward(p, xb, cfg), params, Xt)
     t1f = float(np.mean(np.argmax(lf, -1) == Yt[:len(lf)]))
-
     rows = []
 
     def run(name, ctx_fn):
@@ -156,10 +126,10 @@ def study_resnet(args, logger):
         d = labeled_accuracy_delta(lf, lq, Yt[:len(lf)])
         row = {"method": name, **{k: round(v, 4) for k, v in d.items()}}
         rows.append(row)
-        _emit(stage="ptq", model="resnet18s", data=args.data, **row)
+        _emit(stage="ptq", model=mname, data=args.data, **row)
         logger.log({"top1_fp32": d["top1_fp32"], "top1_quant": d["top1_quant"],
                     "delta_top1": d["delta_top1"]},
-                   params={"model": "resnet18s", "data": args.data,
+                   params={"model": mname, "data": args.data,
                            "method": name, "epochs": args.epochs})
 
     for name, qcfg in (("rtn_int8_pc", INT8_PER_CHANNEL),
@@ -191,7 +161,7 @@ def study_resnet(args, logger):
         qa, sa, sm = ptq_auto(qforward, flat, cfg, calib, qcfg)
         run(name, lambda qf=qa, s=sa, m=sm, q=qcfg: SmoothDeployCtx(qf, s, q, m))
 
-    _emit(stage="summary", model="resnet18s", data=args.data, top1_fp32=t1f,
+    _emit(stage="summary", model=mname, data=args.data, top1_fp32=t1f,
           gate_int8=abs(rows[0]["delta_top1"]) <= 0.005, table=rows)
 
     if args.qat:
@@ -219,11 +189,102 @@ def study_resnet(args, logger):
             qflat_qat = quantize_weights(fq, qcfg)
             run(f"qat_int{bits}a8",
                 lambda qf=qflat_qat, s=sq, q=qcfg: DeployCtx(qf, s, q))
-            _emit(stage="qat", bits=bits,
+            _emit(stage="qat", model=mname, bits=bits,
                   final_loss=round(hist["epochs"][-1]["loss"], 4),
                   recovered=round(rows[-1]["top1_quant"]
                                   - rows[-2]["top1_quant"], 4))
     return rows
+
+
+def study_resnet(args, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, apply_bn_updates, flatten_folded, fold_resnet,
+        init_resnet, qforward, resnet_forward, resnet_forward_train,
+    )
+    from dlq_tpu.train.generic import evaluate, train
+
+    X, Y, Xt, Yt, classes = load_data(args.data, args.n)
+    cfg = ResNetConfig(depth=18, num_classes=classes, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+
+    def fwd(p, xb):
+        return resnet_forward(p, xb, cfg)
+
+    # train with BATCH-stat BN + cosine schedule (the round-2 study trained
+    # through inference BN at init stats and collapsed to 7% top-1 —
+    # VERDICT r2 weak #1); deploy/eval uses the learned running stats
+    params, rep = train(fwd, params, X, Y, epochs=args.epochs,
+                        batch=args.batch, lr=args.lr, log_every=0,
+                        schedule="cosine",
+                        forward_train=lambda p, xb: resnet_forward_train(p, xb, cfg),
+                        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
+    acc = evaluate(fwd, params, Xt, Yt)
+    _emit(stage="train", model="resnet18s", data=args.data,
+          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
+    if acc < args.min_acc:
+        # HARD GATE: a Δtop-1 between two untrained networks is not
+        # evidence — refuse to log any PTQ rows (VERDICT r2 next #1/#8)
+        _emit(stage="train", error=(
+            f"fp32 test acc {acc:.3f} < gate {args.min_acc} — model did not "
+            "train; no PTQ deltas will be logged"), fatal=True)
+        raise SystemExit(3)
+
+    flat = flatten_folded(fold_resnet(params, cfg))
+    calib = [jnp.asarray(X[i:i + 64]) for i in range(0, 256, 64)]
+    lf = batched_logits(lambda p, xb: resnet_forward(p, xb, cfg), params, Xt)
+    return conv_ptq_table(args, logger, "resnet18s", qforward, cfg, flat,
+                          X, Y, Xt, Yt, lf, calib)
+
+
+def study_mobilenet(args, logger):
+    """MobileNetV2 trained-accuracy study (VERDICT r4 #1 — the last empty
+    model-family cell). BASELINE config 4 exists because DEPTHWISE convs are
+    the classic PTQ accuracy failure: per-channel weight stats are computed
+    over 9 values per channel, so one outlier tanks the whole channel.
+    Trains a small-input MNv2 with batch-stat BN, then the same method
+    gradient as the conv flagship, QAT rescue included via --qat."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu.models.mobilenetv2 import (
+        MobileNetV2Config, apply_bn_updates, block_meta, fold_mobilenetv2,
+        init_mobilenetv2, make_qforward, mobilenetv2_forward,
+        mobilenetv2_forward_train,
+    )
+    from dlq_tpu.train.generic import evaluate, train
+
+    X, Y, Xt, Yt, classes = load_data(args.data, args.n)
+    cfg = MobileNetV2Config(num_classes=classes, small_input=True,
+                            width_mult=args.width_mult)
+    params = init_mobilenetv2(jax.random.PRNGKey(0), cfg)
+    mname = f"mobilenetv2_{args.width_mult}x"
+
+    def fwd(p, xb):
+        return mobilenetv2_forward(p, xb, cfg)
+
+    params, rep = train(fwd, params, X, Y, epochs=args.epochs,
+                        batch=args.batch, lr=args.lr, log_every=0,
+                        schedule="cosine",
+                        forward_train=lambda p, xb: mobilenetv2_forward_train(p, xb, cfg),
+                        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
+    acc = evaluate(fwd, params, Xt, Yt)
+    _emit(stage="train", model=mname, data=args.data,
+          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
+    if acc < args.min_acc:
+        _emit(stage="train", error=(
+            f"fp32 test acc {acc:.3f} < gate {args.min_acc} — model did not "
+            "train; no PTQ deltas will be logged"), fatal=True)
+        raise SystemExit(3)
+
+    flat = fold_mobilenetv2(params)
+    qforward = make_qforward(block_meta(cfg))
+    calib = [jnp.asarray(X[i:i + 64]) for i in range(0, 256, 64)]
+    lf = batched_logits(fwd, params, Xt)
+    return conv_ptq_table(args, logger, mname, qforward, cfg, flat,
+                          X, Y, Xt, Yt, lf, calib)
 
 
 def study_deit(args, logger):
@@ -389,7 +450,11 @@ def main():
 
     apply_platform_env()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="resnet18")
+    ap.add_argument("--model", default="resnet18",
+                    choices=["resnet18", "mobilenetv2", "none"])
+    ap.add_argument("--width-mult", type=float, default=1.0,
+                    help="mobilenetv2 width multiplier (BASELINE config 4: "
+                         "1.0x and 1.4x)")
     ap.add_argument("--data", default="synthetic",
                     choices=["synthetic", "synthetic_hard",
                              "synthetic_hard_vit", "digits"])
@@ -417,6 +482,8 @@ def main():
     _emit(device=str(jax.devices()[0]))
     if args.model == "resnet18":
         study_resnet(args, logger)
+    elif args.model == "mobilenetv2":
+        study_mobilenet(args, logger)
     if args.deit:
         study_deit(args, logger)
 
