@@ -317,6 +317,20 @@ def conv_int8_s2d(xq: jnp.ndarray, w4: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def conv_int8_mm1x1(xq: jnp.ndarray, w2d: jnp.ndarray) -> jnp.ndarray:
+    """1x1/s1 conv as an int8 matmul on the [N*H*W, C] view — a FREE
+    relayout in NHWC (the reshape is a bitcast), unlike every round-3
+    rewrite that paid a relayout to feed a better-shaped conv. Targets the
+    bottleneck-ResNet body (1x1 convs are ~2/3 of ResNet-50+ FLOPs), a
+    shape class the round-3 campaign never measured (it covered 1x1/s2
+    downsamples only, BENCH_NOTES 'exhaustive exact-rewrite campaign').
+    Exact. xq [N,H,W,C], w2d [C,OC] -> int32 [N,H,W,OC]."""
+    N, H, W, C = xq.shape
+    acc = jax.lax.dot(xq.reshape(N * H * W, C), w2d,
+                      preferred_element_type=jnp.int32)
+    return acc.reshape(N, H, W, w2d.shape[-1])
+
+
 def conv_int8_down_mm(xq: jnp.ndarray, w2d: jnp.ndarray) -> jnp.ndarray:
     """1x1/s2 downsample as strided slice + int8 matmul (the direct conv
     lowering measures 7-27% of peak at the ResNet shapes). Exact.

@@ -364,26 +364,36 @@ class FusedDeployCtx(DeployCtx):
         pad_t = (padding, padding) if isinstance(padding, int) else padding
         wq8 = p["qw"]
         acc = None
-        if (self.rewrites and groups == 1 and wq8.bits == 8
-                and xq.shape[1] % 2 == 0 and xq.shape[2] % 2 == 0):
+        if self.rewrites and groups == 1 and wq8.bits == 8:
             w_hwio = _int_weight(wq8)
             kh, kw = w_hwio.shape[:2]
-            if ("dpx" in self.rewrites and (kh, kw) == (3, 3)
+            # dpx/s2d/down_mm keep their original even-H/W guard (their
+            # measured verdicts were taken under it); mm1x1 has no spatial
+            # relayout so it applies at any H/W (stage4's 7x7 included)
+            even_hw = xq.shape[1] % 2 == 0 and xq.shape[2] % 2 == 0
+            if ("dpx" in self.rewrites and even_hw and (kh, kw) == (3, 3)
                     and stride_t == (1, 1) and pad_t == (1, 1)
                     and w_hwio.shape[2] == 64 and w_hwio.shape[3] == 64):
                 from dlq_tpu.ops.qops import conv_int8_dpx, pack_w_dual_xla
 
                 acc = conv_int8_dpx(xq, pack_w_dual_xla(w_hwio))
-            elif ("s2d" in self.rewrites and (kh, kw) == (3, 3)
+            elif ("s2d" in self.rewrites and even_hw and (kh, kw) == (3, 3)
                     and stride_t == (2, 2) and pad_t == (1, 1)):
                 from dlq_tpu.ops.qops import conv_int8_s2d, pack_w_s2d
 
                 acc = conv_int8_s2d(xq, pack_w_s2d(w_hwio))
-            elif ("down_mm" in self.rewrites and (kh, kw) == (1, 1)
+            elif ("down_mm" in self.rewrites and even_hw
+                    and (kh, kw) == (1, 1)
                     and stride_t == (2, 2) and pad_t == (0, 0)):
                 from dlq_tpu.ops.qops import conv_int8_down_mm
 
                 acc = conv_int8_down_mm(
+                    xq, w_hwio.reshape(w_hwio.shape[2], w_hwio.shape[3]))
+            elif ("mm1x1" in self.rewrites and (kh, kw) == (1, 1)
+                    and stride_t == (1, 1) and pad_t == (0, 0)):
+                from dlq_tpu.ops.qops import conv_int8_mm1x1
+
+                acc = conv_int8_mm1x1(
                     xq, w_hwio.reshape(w_hwio.shape[2], w_hwio.shape[3]))
         if acc is None:
             acc = _conv_int8(xq, _int_weight(p["qw"]), stride, padding, groups,

@@ -81,3 +81,46 @@ def test_fused2_rewrites_model_exact():
         FullFusedCtx(qflat, scales, INT8_PER_CHANNEL,
                      rewrites=("dpx", "s2d", "down_mm")), x, cfg))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("C,OC,H", [(512, 128, 7), (256, 1024, 14), (64, 64, 9)])
+def test_mm1x1_exact(C, OC, H):
+    """1x1/s1 conv == int8 matmul on the flattened spatial view (odd H/W
+    included — stage4 runs at 7x7)."""
+    from dlq_tpu.ops.qops import conv_int8_mm1x1
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(-127, 128, (2, H, H, C)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (1, 1, C, OC)), jnp.int8)
+    ref = _direct(x, w, (1, 1), [(0, 0), (0, 0)])
+    got = conv_int8_mm1x1(x, w.reshape(C, OC))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused2_mm1x1_bottleneck_model_exact():
+    """mm1x1 through the production fused2 forward on a BOTTLENECK resnet
+    (1x1/s1 body convs are the target class): bit-exact vs the plain path."""
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+        qforward_fused2,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        FullFusedCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+
+    rng = np.random.default_rng(5)
+    cfg = ResNetConfig(depth=50, num_classes=8, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x],
+                       INT8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+    a = np.asarray(qforward_fused2(
+        FullFusedCtx(qflat, scales, INT8_PER_CHANNEL), x, cfg))
+    b = np.asarray(qforward_fused2(
+        FullFusedCtx(qflat, scales, INT8_PER_CHANNEL,
+                     rewrites=("mm1x1",)), x, cfg))
+    np.testing.assert_array_equal(a, b)

@@ -261,6 +261,51 @@ def phase_conv1x1():
         _emit(**row)
 
 
+def phase_mm1x1(iters=8, depths=(50, 152), batch=128):
+    """Model-level A/B of the mm1x1 rewrite (1x1/s1 conv -> int8 matmul) on
+    the BOTTLENECK resnets at b128 @224 — the class where 1x1/s1 is ~2/3 of
+    the FLOPs. Bit-exact is CI-gated (test_conv_rewrites); here the verdict
+    is throughput. (TPU, own process.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+        qforward_fused2,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        FullFusedCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
+    from dlq_tpu.timing import device_time_fn
+
+    rng = np.random.default_rng(0)
+    for depth in depths:
+        cfg = ResNetConfig(depth=depth, num_classes=1000)
+        params = init_resnet(jax.random.PRNGKey(0), cfg)
+        flat = flatten_folded(fold_resnet(params, cfg))
+        calib = [jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.float32)]
+        scales = calibrate(make_sites_fn(qforward, cfg), flat, calib,
+                           INT8_PER_CHANNEL)
+        qflat = quantize_weights(flat, INT8_PER_CHANNEL)
+        x = jnp.asarray(rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
+        row = {"phase": "mm1x1", "model": f"resnet{depth}", "batch": batch}
+        for label, rw in (("plain", ()), ("mm1x1", ("mm1x1",)),
+                          ("mm1x1_down", ("mm1x1", "down_mm"))):
+            def fwd(p, xb, _s=scales, _rw=rw, _cfg=cfg):
+                return qforward_fused2(
+                    FullFusedCtx(p, _s, INT8_PER_CHANNEL, rewrites=_rw),
+                    xb, _cfg)
+
+            r = device_time_fn(fwd, qflat, x, perturb_arg=1, n_small=2,
+                               n_big=2 + iters)
+            row[f"{label}_ms"] = round(float(r["ms_median"]), 3)
+            row[f"{label}_img_s"] = round(batch / (r["ms_median"] / 1e3), 1)
+        row["speedup"] = round(row["plain_ms"] / row["mm1x1_ms"], 4)
+        _emit(**row)
+
+
 def main():
     from dlq_tpu.platform import apply_platform_env
 
@@ -277,6 +322,8 @@ def main():
             phase_shapes(write_table=write_table)
         elif ph == "conv1x1":
             phase_conv1x1()
+        elif ph == "mm1x1":
+            phase_mm1x1()
         else:
             raise SystemExit(f"unknown phase {ph}")
 

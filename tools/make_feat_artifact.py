@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "runlogs", "r5", "feat"))
+        "runlogs", "r6", "feat"))
     args = ap.parse_args()
 
     import jax
@@ -69,7 +69,16 @@ def main():
     print(json.dumps({"stage": "train", "epochs": args.epochs,
                       "test_acc": round(acc, 4)}), flush=True)
 
-    # one REAL scanned digit through the tapped forward
+    # one REAL scanned digit through the tapped forward — the SAME digit as
+    # the committed sample input (examples/data/sample_digit.npy), so the
+    # walkthrough's inspect step reproduces this artifact byte-for-byte
+    sample = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "data", "sample_digit.npy")
+    if os.path.exists(sample):
+        s = np.load(sample)
+        assert np.array_equal(s, Xte[0]), (
+            "committed sample_digit.npy drifted from the digits loader's "
+            "first test digit — regenerate one of them")
     x1 = jnp.asarray(Xte32[:1])
     _, taps = jax.jit(lambda p, xx: resnet_forward(p, xx, cfg, taps=True))(
         params, x1)
