@@ -66,9 +66,13 @@ def make_train_step(forward: Callable, lr: float = 0.05, momentum: float = 0.9):
 
 def _make_step(forward: Callable, opt: str, momentum: float,
                forward_train: Optional[Callable],
-               apply_state: Optional[Callable], batch: int):
+               apply_state: Optional[Callable], batch: int,
+               weight_decay: float = 0.0):
     """One jitted step: grads + optimizer update (+ BN running-stat update).
-    lr arrives as an argument so cosine schedules reuse the compile."""
+    lr arrives as an argument so cosine schedules reuse the compile.
+    weight_decay is DECOUPLED (AdamW-style p *= 1 - lr*wd after the update)
+    and applies only to ndim>=2 leaves — conv/dense weights — never to
+    biases or BN affines/running stats (the standard no-decay set)."""
     fwd_t = forward_train if forward_train is not None else (
         lambda p, x: (forward(p, x), None))
 
@@ -96,6 +100,10 @@ def _make_step(forward: Callable, opt: str, momentum: float,
                 lambda vv, g: momentum * vv - lr * g, opt_state, grads)
             params = jax.tree_util.tree_map(lambda p, vv: p + vv, params, vel)
             opt_state = vel
+        if weight_decay:
+            params = jax.tree_util.tree_map(
+                lambda p: p * (1.0 - lr * weight_decay) if p.ndim >= 2 else p,
+                params)
         if aux is not None and apply_state is not None:
             params = apply_state(params, aux, batch)
         acc = jnp.mean(jnp.argmax(logits, -1) == y)
@@ -119,12 +127,14 @@ def train(
     warmup_frac: float = 0.05,
     forward_train: Optional[Callable] = None,
     apply_state: Optional[Callable] = None,
+    weight_decay: float = 0.0,
 ) -> Tuple[Any, Dict[str, Any]]:
     n = (len(X) // batch) * batch
     steps_per_epoch = max(1, n // batch)
     total = steps_per_epoch * epochs
     lr_at = cosine_lr(lr, total, warmup_frac) if schedule == "cosine" else (lambda t: lr)
-    step = _make_step(forward, opt, momentum, forward_train, apply_state, batch)
+    step = _make_step(forward, opt, momentum, forward_train, apply_state, batch,
+                      weight_decay=weight_decay)
     if opt == "adam":
         opt_state = (jax.tree_util.tree_map(jnp.zeros_like, params),
                      jax.tree_util.tree_map(jnp.zeros_like, params))

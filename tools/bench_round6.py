@@ -142,16 +142,18 @@ def phase_serving_lat():
 # ---------------------------------------------------------------------------
 
 # The GEMM-expressible (1x1-conv / dense) shapes that are >5% of runtime in
-# a BASELINE model at b128 @224 (M = B*H*W of the stage). 3x3 convs are
+# a BASELINE model at b128 @224 (M = B*H*W of the stage, PADDED to the
+# 256-row granule int8_matmul_padded keys its lookups on — entries recorded
+# at the raw 6272 would never be hit at runtime). 3x3 convs are
 # conv-emitter territory, not GEMMs, and are excluded by construction.
 PRODUCTION_SHAPES = [
-    # model, stage, (M, K, N)
+    # model, stage, (M_padded, K, N)
     ("resnet50/101/152", "stage3 1x1 reduce", (25088, 1024, 256)),
     ("resnet50/101/152", "stage3 1x1 expand", (25088, 256, 1024)),
-    ("resnet50/101/152", "stage4 1x1 reduce", (6272, 2048, 512)),
-    ("resnet50/101/152", "stage4 1x1 expand", (6272, 512, 2048)),
-    ("resnet50/101/152", "stage4 downsample 1x1", (6272, 1024, 2048)),
-    ("mobilenetv2", "head 1x1 320->1280", (6272, 320, 1280)),
+    ("resnet50/101/152", "stage4 1x1 reduce", (6400, 2048, 512)),
+    ("resnet50/101/152", "stage4 1x1 expand", (6400, 512, 2048)),
+    ("resnet50/101/152", "stage4 downsample 1x1", (6400, 1024, 2048)),
+    ("mobilenetv2", "head 1x1 320->1280", (6400, 320, 1280)),
 ]
 
 
