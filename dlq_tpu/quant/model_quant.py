@@ -107,7 +107,7 @@ class DeployCtx:
                  tp_wire=None, dp_conv: bool = False,
                  depthwise: Optional[str] = None,
                  wire_sites: Optional[tuple] = None,
-                 rewrites: tuple = ()):
+                 rewrites: tuple = ("mm1x1",)):
         from dlq_tpu.ops.qops import resolve_depthwise
 
         self.qflat = qflat
@@ -128,7 +128,14 @@ class DeployCtx:
         self.depthwise = resolve_depthwise(depthwise)
         # exact XLA-level conv rewrites for sub-roofline shape classes
         # (stage_roofline r3): "dpx" width-pair 3x3/s1 C=OC=64, "s2d"
-        # space-to-depth 3x3/s2, "down_mm" 1x1/s2 slice+matmul
+        # space-to-depth 3x3/s2, "down_mm" 1x1/s2 slice+matmul. All three
+        # measured SLOWER than the direct conv (round-3 verdicts; opt-in
+        # for compiler-drop re-measures). "mm1x1" (1x1/s1 conv as int8 dot
+        # on the free [N*H*W, C] view) is ON BY DEFAULT: bit-exact and
+        # +6% model-level on bottleneck resnets (runlogs/r6/mm1x1.jsonl —
+        # r50 17.1k -> 18.2k img/s, r152 7.7k -> 8.2k b128); a no-op for
+        # topologies without 1x1/s1/p0 sites (resnet18/34 headline path
+        # unchanged). Pass rewrites=() to A/B the pre-round-6 behavior.
         self.rewrites = tuple(rewrites)
 
     def _tp_dense(self, name, x, p, fuse_relu):
