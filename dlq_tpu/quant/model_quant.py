@@ -201,7 +201,7 @@ class DeployCtx:
         return qconv2d(x, p["qw"], p.get("b"), self.act_scales[name],
                        stride=stride, padding=padding, groups=groups,
                        fuse_relu=fuse_relu, act_qmax=self.qcfg.acts.qmax,
-                       depthwise=self.depthwise)
+                       depthwise=self.depthwise, rewrites=self.rewrites)
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]
@@ -234,7 +234,8 @@ class DynamicDeployCtx(DeployCtx):
         p = self.qflat[name]
         return qconv2d(x, p["qw"], p.get("b"), self._scale(x), stride=stride,
                        padding=padding, groups=groups, fuse_relu=fuse_relu,
-                       act_qmax=self.qcfg.acts.qmax, depthwise=self.depthwise)
+                       act_qmax=self.qcfg.acts.qmax, depthwise=self.depthwise,
+                       rewrites=self.rewrites)
 
     def dense(self, name, x, *, fuse_relu=False):
         p = self.qflat[name]

@@ -124,3 +124,32 @@ def test_fused2_mm1x1_bottleneck_model_exact():
         FullFusedCtx(qflat, scales, INT8_PER_CHANNEL,
                      rewrites=("mm1x1",)), x, cfg))
     np.testing.assert_array_equal(a, b)
+
+
+def test_deploy_mm1x1_mnv2_exact():
+    """mm1x1 through the production DeployCtx on MobileNetV2 (its body is
+    mostly 1x1/s1 convs): bit-exact vs the direct-conv path, int8 and
+    unpacked-int4 weights both."""
+    from dlq_tpu.models.mobilenetv2 import (
+        MobileNetV2Config, block_meta, fold_mobilenetv2, init_mobilenetv2,
+        make_qforward,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        DeployCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL, INT8_PER_CHANNEL
+
+    rng = np.random.default_rng(6)
+    cfg = MobileNetV2Config(num_classes=8, small_input=True, width_mult=0.5)
+    params = init_mobilenetv2(jax.random.PRNGKey(0), cfg)
+    flat = fold_mobilenetv2(params)
+    qf = make_qforward(block_meta(cfg))
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    for qcfg in (INT8_PER_CHANNEL, INT4A8_PER_CHANNEL):
+        scales = calibrate(make_sites_fn(qf, cfg), flat, [x], qcfg)
+        qflat = quantize_weights(flat, qcfg)
+        a = np.asarray(qf(DeployCtx(qflat, scales, qcfg, rewrites=()), x, cfg))
+        b = np.asarray(qf(DeployCtx(qflat, scales, qcfg,
+                                    rewrites=("mm1x1",)), x, cfg))
+        np.testing.assert_array_equal(a, b)

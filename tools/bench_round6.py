@@ -308,6 +308,49 @@ def phase_mm1x1(iters=8, depths=(50, 152), batch=128):
         _emit(**row)
 
 
+def phase_mnv2_mm1x1(iters=8, batch=384):
+    """Model-level A/B of mm1x1 through the production DeployCtx on
+    MobileNetV2 (the body is mostly 1x1/s1 convs): W8A8 and W4A8, plain vs
+    mm1x1. Bit-exact is CI-gated (test_deploy_mm1x1_mnv2_exact); this is
+    the throughput verdict that decides the DeployCtx default. (TPU.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from dlq_tpu.models.mobilenetv2 import (
+        MobileNetV2Config, block_meta, fold_mobilenetv2, init_mobilenetv2,
+        make_qforward,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        DeployCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL, INT8_PER_CHANNEL
+    from dlq_tpu.timing import device_time_fn
+
+    rng = np.random.default_rng(0)
+    cfg = MobileNetV2Config(num_classes=1000)
+    params = init_mobilenetv2(jax.random.PRNGKey(0), cfg)
+    flat = fold_mobilenetv2(params)
+    qf = make_qforward(block_meta(cfg))
+    calib = [jnp.asarray(rng.normal(0, 1, (8, 224, 224, 3)), jnp.float32)]
+    x = jnp.asarray(rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
+    for label, qcfg in (("w8a8", INT8_PER_CHANNEL),
+                        ("w4a8", INT4A8_PER_CHANNEL)):
+        scales = calibrate(make_sites_fn(qf, cfg), flat, calib, qcfg)
+        qflat = quantize_weights(flat, qcfg)
+        row = {"phase": "mnv2_mm1x1", "scheme": label, "batch": batch}
+        for name, rw in (("plain", ()), ("mm1x1", ("mm1x1",))):
+            def fwd(p, xb, _s=scales, _rw=rw, _q=qcfg):
+                return qf(DeployCtx(p, _s, _q, rewrites=_rw), xb, cfg)
+
+            r = device_time_fn(fwd, qflat, x, perturb_arg=1, n_small=2,
+                               n_big=2 + iters)
+            row[f"{name}_ms"] = round(float(r["ms_median"]), 3)
+            row[f"{name}_img_s"] = round(batch / (r["ms_median"] / 1e3), 1)
+        row["speedup"] = round(row["plain_ms"] / row["mm1x1_ms"], 4)
+        _emit(**row)
+
+
 def main():
     from dlq_tpu.platform import apply_platform_env
 
@@ -326,6 +369,8 @@ def main():
             phase_conv1x1()
         elif ph == "mm1x1":
             phase_mm1x1()
+        elif ph == "mnv2_mm1x1":
+            phase_mnv2_mm1x1()
         else:
             raise SystemExit(f"unknown phase {ph}")
 
