@@ -93,6 +93,10 @@ def record(kind: str, M: int, K: int, N: int, entry: Dict[str, Any]) -> str:
     with open(tmp, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
+    # drop the memoized parse: on coarse-mtime filesystems the rewrite may
+    # not advance mtime, and a stale cached dict would make the NEXT
+    # record() merge from old contents and silently lose this entry
+    _load_at.cache_clear()
     return path
 
 
@@ -125,7 +129,10 @@ def _error_reason(e: Exception) -> str:
     if any(m in s for m in ("remote_compile", "tpu_compile_helper", "Mosaic",
                             "RESOURCE_EXHAUSTED", "vmem", "VMEM", "INTERNAL")):
         return "compile_failed"
-    return s.splitlines()[0][:80]
+    # empty-message exceptions (bare assert etc.) must not crash the sweep's
+    # error handler — fall back to the exception type name
+    first = (s.splitlines() or [""])[0][:80]
+    return first or type(e).__name__
 
 
 def _measure(fn, *args, iters: int = 8, kind: str | None = None,

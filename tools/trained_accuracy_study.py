@@ -101,6 +101,30 @@ def batched_logits(fwd, payload, X, batch=256):
     return np.concatenate(outs)
 
 
+def train_and_gate(args, mname, fwd, params, X, Y, Xt, Yt, lr=None,
+                   **train_kw):
+    """Train, evaluate, emit the train row, and enforce the fp32 >= min_acc
+    HARD GATE (exit 3: a Δtop-1 between two untrained networks is not
+    evidence — VERDICT r2). One implementation for every study family so
+    the gate semantics and exit-code contract (which the retry-ladder job
+    scripts key on) cannot drift between models."""
+    from dlq_tpu.train.generic import evaluate, train
+
+    params, rep = train(fwd, params, X, Y, epochs=args.epochs,
+                        batch=args.batch,
+                        lr=args.lr if lr is None else lr,
+                        log_every=0, schedule="cosine", **train_kw)
+    acc = evaluate(fwd, params, Xt, Yt)
+    _emit(stage="train", model=mname, data=args.data,
+          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
+    if acc < args.min_acc:
+        _emit(stage="train", error=(
+            f"fp32 test acc {acc:.3f} < gate {args.min_acc} — model did not "
+            "train; no PTQ deltas will be logged"), fatal=True)
+        raise SystemExit(3)
+    return params
+
+
 def conv_ptq_table(args, logger, mname, qforward, cfg, flat, X, Y, Xt, Yt,
                    lf, calib):
     """The conv-family PTQ method gradient on TRAINED weights: rtn int8
@@ -212,7 +236,6 @@ def study_resnet(args, logger):
         ResNetConfig, apply_bn_updates, flatten_folded, fold_resnet,
         init_resnet, qforward, resnet_forward, resnet_forward_train,
     )
-    from dlq_tpu.train.generic import evaluate, train
 
     X, Y, Xt, Yt, classes = load_data(args.data, args.n)
     cfg = ResNetConfig(depth=18, num_classes=classes, small_input=True)
@@ -224,21 +247,10 @@ def study_resnet(args, logger):
     # train with BATCH-stat BN + cosine schedule (the round-2 study trained
     # through inference BN at init stats and collapsed to 7% top-1 —
     # VERDICT r2 weak #1); deploy/eval uses the learned running stats
-    params, rep = train(fwd, params, X, Y, epochs=args.epochs,
-                        batch=args.batch, lr=args.lr, log_every=0,
-                        schedule="cosine",
-                        forward_train=lambda p, xb: resnet_forward_train(p, xb, cfg),
-                        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
-    acc = evaluate(fwd, params, Xt, Yt)
-    _emit(stage="train", model="resnet18s", data=args.data,
-          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
-    if acc < args.min_acc:
-        # HARD GATE: a Δtop-1 between two untrained networks is not
-        # evidence — refuse to log any PTQ rows (VERDICT r2 next #1/#8)
-        _emit(stage="train", error=(
-            f"fp32 test acc {acc:.3f} < gate {args.min_acc} — model did not "
-            "train; no PTQ deltas will be logged"), fatal=True)
-        raise SystemExit(3)
+    params = train_and_gate(
+        args, "resnet18s", fwd, params, X, Y, Xt, Yt,
+        forward_train=lambda p, xb: resnet_forward_train(p, xb, cfg),
+        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
 
     flat = flatten_folded(fold_resnet(params, cfg))
     calib = [jnp.asarray(X[i:i + 64]) for i in range(0, 256, 64)]
@@ -262,7 +274,6 @@ def study_mobilenet(args, logger):
         init_mobilenetv2, make_qforward, mobilenetv2_forward,
         mobilenetv2_forward_train,
     )
-    from dlq_tpu.train.generic import evaluate, train
 
     X, Y, Xt, Yt, classes = load_data(args.data, args.n,
                                       augment_synth=args.augment)
@@ -274,19 +285,10 @@ def study_mobilenet(args, logger):
     def fwd(p, xb):
         return mobilenetv2_forward(p, xb, cfg)
 
-    params, rep = train(fwd, params, X, Y, epochs=args.epochs,
-                        batch=args.batch, lr=args.lr, log_every=0,
-                        schedule="cosine", weight_decay=args.wd,
-                        forward_train=lambda p, xb: mobilenetv2_forward_train(p, xb, cfg),
-                        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
-    acc = evaluate(fwd, params, Xt, Yt)
-    _emit(stage="train", model=mname, data=args.data,
-          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
-    if acc < args.min_acc:
-        _emit(stage="train", error=(
-            f"fp32 test acc {acc:.3f} < gate {args.min_acc} — model did not "
-            "train; no PTQ deltas will be logged"), fatal=True)
-        raise SystemExit(3)
+    params = train_and_gate(
+        args, mname, fwd, params, X, Y, Xt, Yt, weight_decay=args.wd,
+        forward_train=lambda p, xb: mobilenetv2_forward_train(p, xb, cfg),
+        apply_state=lambda p, aux, n: apply_bn_updates(p, aux, n))
 
     flat = fold_mobilenetv2(params)
     qforward = make_qforward(block_meta(cfg))
@@ -314,7 +316,6 @@ def study_deit(args, logger):
     from dlq_tpu.quant.error_report import labeled_accuracy_delta
     from dlq_tpu.quant.model_quant import DeployCtx, make_sites_fn, quantize_weights
     from dlq_tpu.quant.qconfig import INT8_PER_CHANNEL
-    from dlq_tpu.train.generic import evaluate, train
 
     X, Y, Xt, Yt, classes = load_data(args.data, args.n)
     vcfg = ViTConfig(num_classes=classes, image_size=32, patch=8, dim=192,
@@ -326,17 +327,8 @@ def study_deit(args, logger):
 
     # from-scratch ViT: Adam + cosine warmup (SGD at conv-net lr does not
     # train a ViT on a tiny set)
-    vparams, rep = train(fwd, vparams, X, Y, epochs=args.epochs,
-                         batch=args.batch, lr=1e-3, opt="adam",
-                         schedule="cosine", warmup_frac=0.1)
-    acc = evaluate(fwd, vparams, Xt, Yt)
-    _emit(stage="train", model="deit_micro", data=args.data,
-          final_loss=round(rep["final"]["loss"], 4), test_acc=round(acc, 4))
-    if acc < args.min_acc:
-        _emit(stage="train", error=(
-            f"deit fp32 test acc {acc:.3f} < gate {args.min_acc} — model did "
-            "not train; no variant rows will be logged"), fatal=True)
-        raise SystemExit(3)
+    vparams = train_and_gate(args, "deit_micro", fwd, vparams, X, Y, Xt, Yt,
+                             lr=1e-3, opt="adam", warmup_frac=0.1)
 
     vflat = flatten_vit(vparams)
     ex = vit_extras(vparams)
