@@ -81,3 +81,35 @@ def test_int4_auto_routes_on_cache(tmp_cache, monkeypatch):
                                  "tiles": {"tm": 64, "tn": 128, "tk": 256}})
     out2 = np.asarray(PM.int4_matmul_auto(x, wp, scales, group=group))
     np.testing.assert_allclose(out2, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_error_reason_never_raises():
+    """The sweep's error handler must survive ANY exception shape — a bare
+    assert from a compile path once would have IndexError'd the handler
+    and killed the campaign (round-6 self-review finding)."""
+    from dlq_tpu.ops.tile_autotune import _error_reason
+
+    assert _error_reason(AssertionError()) == "AssertionError"
+    assert _error_reason(RuntimeError("")) == "RuntimeError"
+    assert (_error_reason(RuntimeError("implausible measurement: x"))
+            == "implausible_measurement")
+    assert _error_reason(RuntimeError("Mosaic layout oops")) == "compile_failed"
+    assert _error_reason(RuntimeError("plain reason\nmore")) == "plain reason"
+
+
+def test_record_survives_frozen_mtime(tmp_cache):
+    """Back-to-back record() calls within one mtime tick must not lose
+    entries (the memoized parse is cleared on write)."""
+    import os
+
+    from dlq_tpu.ops.tile_autotune import _load, cache_path, record
+
+    record("w8a8", 1, 2, 3, {"tm": 1, "tn": 2, "tk": 3, "ms": 0.5})
+    m0 = os.path.getmtime(cache_path())
+    record("w8a8", 4, 5, 6, {"tm": 4, "tn": 5, "tk": 6, "ms": 0.6})
+    os.utime(cache_path(), (m0, m0))  # freeze mtime at the first write's
+    record("w8a8", 7, 8, 9, {"tm": 7, "tn": 8, "tk": 9, "ms": 0.7})
+    os.utime(cache_path(), (m0, m0))
+    data = dict(_load(cache_path()))
+    keys = [k for k in data if k.startswith("w8a8:")]
+    assert len(keys) == 3, keys

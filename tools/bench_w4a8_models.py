@@ -125,6 +125,13 @@ def main():
     import jax
 
     _emit(device=str(jax.devices()[0]))
+    if "deep" in sys.argv[1:]:
+        # round-6 completion of the W4 throughput matrix: the remaining
+        # bottleneck depths (50/101/152 now run mm1x1-defaulted W8A8 vs
+        # in-graph-unpack W4A8 at half the weight bytes)
+        for depth in (50, 101, 152):
+            bench_model(depth, 128)
+        return
     bench_model(18, 384)
     bench_model(50, 128)
     bench_int4_tiles()
