@@ -372,7 +372,10 @@ class FusedDeployCtx(DeployCtx):
         pad_t = (padding, padding) if isinstance(padding, int) else padding
         wq8 = p["qw"]
         acc = None
-        if self.rewrites and groups == 1 and wq8.bits == 8:
+        # bits 4 qualifies too: _int_weight unpacks nibble-packed int4 to
+        # int8 in layout, so every rewrite's integer math is unchanged
+        # (W4A8 convs then take mm1x1 like their W8A8 twins)
+        if self.rewrites and groups == 1 and wq8.bits in (4, 8):
             w_hwio = _int_weight(wq8)
             kh, kw = w_hwio.shape[:2]
             # dpx/s2d/down_mm keep their original even-H/W guard (their

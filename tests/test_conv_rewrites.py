@@ -153,3 +153,32 @@ def test_deploy_mm1x1_mnv2_exact():
         b = np.asarray(qf(DeployCtx(qflat, scales, qcfg,
                                     rewrites=("mm1x1",)), x, cfg))
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused2_mm1x1_w4a8_bottleneck_exact():
+    """mm1x1 through fused2 with INT4A8 weights (nibble-packed, unpacked
+    in-graph to int8): bit-exact vs the plain path on a bottleneck resnet."""
+    from dlq_tpu.models.resnet import (
+        ResNetConfig, flatten_folded, fold_resnet, init_resnet, qforward,
+        qforward_fused2,
+    )
+    from dlq_tpu.quant.calibrate import calibrate
+    from dlq_tpu.quant.model_quant import (
+        FullFusedCtx, make_sites_fn, quantize_weights,
+    )
+    from dlq_tpu.quant.qconfig import INT4A8_PER_CHANNEL
+
+    rng = np.random.default_rng(7)
+    cfg = ResNetConfig(depth=50, num_classes=8, small_input=True)
+    params = init_resnet(jax.random.PRNGKey(0), cfg)
+    flat = flatten_folded(fold_resnet(params, cfg))
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    scales = calibrate(make_sites_fn(qforward, cfg), flat, [x],
+                       INT4A8_PER_CHANNEL)
+    qflat = quantize_weights(flat, INT4A8_PER_CHANNEL)
+    a = np.asarray(qforward_fused2(
+        FullFusedCtx(qflat, scales, INT4A8_PER_CHANNEL, rewrites=()), x, cfg))
+    b = np.asarray(qforward_fused2(
+        FullFusedCtx(qflat, scales, INT4A8_PER_CHANNEL,
+                     rewrites=("mm1x1",)), x, cfg))
+    np.testing.assert_array_equal(a, b)
