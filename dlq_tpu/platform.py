@@ -24,6 +24,15 @@ def apply_platform_env() -> None:
     # disables (e.g. when bisecting compiler behavior).
     cache = os.environ.get("DLQ_COMPILE_CACHE", DEFAULT_COMPILE_CACHE)
     if cache.lower() not in ("0", "off", "false", "no", ""):
+        # CPU runs get their own subdirectory: XLA:CPU AOT entries are
+        # host-feature-specific, and a cache populated on another machine
+        # spams loader errors (worst case SIGILL) when shared. The TPU
+        # cache path is UNCHANGED (entries are device-keyed and warm —
+        # do not orphan them).
+        if plat == "cpu" and cache.lower() not in ("1", "true"):
+            cache = os.path.join(cache, "cpu")
+        elif plat == "cpu":
+            cache = os.path.join(DEFAULT_COMPILE_CACHE, "cpu")
         enable_compile_cache(cache)
     if not plat:
         return
